@@ -1,0 +1,70 @@
+package graft.engine
+
+import graft.corpus.Corpus
+import graft.score.BM25
+import graft.tokenize.Tokenizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The naive full-scoring BM25 top-k plan — SURVEY.md §7 Step 1.
+  *
+  * This is the engine's correctness oracle: zero custom operators, every
+  * stage a Catalyst built-in, logically identical to the DuckDB SQL in
+  * [[graft.corpus.OracleSql.bm25TopK]]. The index and WAND paths must match
+  * it rank-for-rank (the north rule's rank-identity criterion).
+  *
+  * Plan shape (scale notes, 1000-executor reasoning):
+  *  - query set is tiny → `broadcast` both the query terms and the
+  *    query-restricted df table (SURVEY.md J5): no shuffle of the big tf
+  *    relation on `term` at query time;
+  *  - tf and doclen are both keyed by doc_id and doclen derives from tf, so
+  *    the doc_id equi-join reuses the aggregation's hash partitioning;
+  *  - corpus stats (N, avgdl) are a 1-row aggregate, cross-joined broadcast.
+  */
+object NaiveSearch {
+
+  /** Scores every (query, doc) pair for the given query rows
+    * `(query_id, term, k)`; returns `(query_id, k, doc_id, score)`.
+    */
+  def scoreAll(corpusWithId: DataFrame, queries: DataFrame): DataFrame = {
+    val tf = Tokenizer.termFreqs(corpusWithId) // (doc_id, term, tf)
+    val dl = Tokenizer.docLens(tf)             // (doc_id, dl)
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val qTerms = queries.select("query_id", "term", "k")
+    val dfq = dfreq.join(broadcast(qTerms.select("term").distinct()), "term")
+
+    tf.join(broadcast(qTerms), "term")
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "k", "doc_id")
+      .agg(sum(BM25.score(col("tf"), col("df"), col("dl"), col("n"), col("avgdl"))).as("score"))
+  }
+
+  /** Full oracle-shaped result: `(query_id, rank, repo, path, commit,
+    * score_r)`, ranked by quantized score desc then natural key asc —
+    * the pinned total order shared with DuckDB.
+    */
+  def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val c = Corpus.withDocId(corpus)
+    val scored = scoreAll(c, queries)
+    rankByKeys(scored.join(c.select("doc_id", "repo", "path", "commit"), "doc_id"))
+  }
+
+  /** Shared ranking tail: input must have (query_id, k, repo, path, commit,
+    * score); emits the pinned oracle output shape.
+    */
+  def rankByKeys(scoredWithKeys: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(BM25.quantize(col("score")).desc, col("repo").asc, col("path").asc, col("commit").asc)
+    scoredWithKeys
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("k"))
+      .select(col("query_id"), col("rank"), col("repo"), col("path"), col("commit"),
+        BM25.quantize(col("score")).as("score_r"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.index
+
+import org.apache.spark.sql.{Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.collection.mutable.ArrayBuffer
+
+/** Mutable aggregation buffer: unsorted parallel arrays of (docId, tf, dl).
+  * Kryo-encoded; within a partition Spark's ObjectHashAggregate keeps the
+  * live object, so appends are amortized O(1) (a plain array-concat buffer
+  * would go quadratic).
+  */
+final class PostingBuf(
+    val docIds: ArrayBuffer[Long] = new ArrayBuffer[Long],
+    val tfs: ArrayBuffer[Int] = new ArrayBuffer[Int],
+    val dls: ArrayBuffer[Long] = new ArrayBuffer[Long]) extends Serializable
+
+/** The core index-build aggregate (SURVEY.md §2.5 A6): builds one term's
+  * delta+varint-compressed posting list with block-max metadata, directly
+  * from `(doc_id, tf, dl)` rows — no giant `collect_list` array ever
+  * materializes in the Catalyst plan.
+  *
+  * `avgdl` is a constructor constant: corpus stats are a cheap separate
+  * pass that runs before posting build (the reference similarly persists
+  * nodes before edges, `pkg/crawl/crawl.go:148-166`).
+  *
+  * Used as `groupBy("term").agg(udaf(new PostingAggregator(avgdl))(...))`;
+  * ObjectHashAggregate does map-side partial merge, and falls back to
+  * sort-based aggregation automatically when groups exceed memory.
+  */
+final class PostingAggregator(avgdl: Double)
+    extends Aggregator[Row, PostingBuf, Row] {
+
+  override def zero: PostingBuf = new PostingBuf
+
+  override def reduce(b: PostingBuf, in: Row): PostingBuf = {
+    b.docIds += in.getLong(0)
+    b.tfs += in.getLong(1).toInt
+    b.dls += in.getLong(2)
+    b
+  }
+
+  override def merge(a: PostingBuf, b: PostingBuf): PostingBuf = {
+    a.docIds ++= b.docIds
+    a.tfs ++= b.tfs
+    a.dls ++= b.dls
+    a
+  }
+
+  override def finish(b: PostingBuf): Row = {
+    val n = b.docIds.length
+    val idx = Array.range(0, n).sortBy(b.docIds(_))
+    val docIds = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    val dls = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      docIds(i) = b.docIds(idx(i)); tfs(i) = b.tfs(idx(i)); dls(i) = b.dls(idx(i))
+      i += 1
+    }
+    val e = Postings.encode("", docIds, tfs, dls, avgdl)
+    Row(e.df, e.sumTf, e.postings, e.dls, e.blockMax)
+  }
+
+  override def bufferEncoder: Encoder[PostingBuf] = Encoders.kryo[PostingBuf]
+
+  override def outputEncoder: Encoder[Row] = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(StructType(Seq(
+      StructField("df", LongType, nullable = false),
+      StructField("sum_tf", LongType, nullable = false),
+      StructField("postings", BinaryType, nullable = false),
+      StructField("dls", BinaryType, nullable = false),
+      StructField("block_max", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Delta + varint posting-list codec (SURVEY.md §2.8 F12, north-rule
+  * "delta+varint-compressed posting lists").
+  *
+  * Wire format of one posting list, all numbers LEB128-style varints
+  * (7 data bits per byte, high bit = continuation):
+  *
+  *   count                       — number of postings
+  *   firstDocId (zigzag)         — xxhash64 ids can be negative
+  *   then per posting i>0:  gap_i = docId_i - docId_{i-1}  (unsigned, >0:
+  *                          postings are strictly sorted by docId)
+  *   then per posting:      tf_i (unsigned)
+  *
+  * Gaps and tfs are stored in separate runs (struct-of-arrays) — small
+  * values cluster together, and a later block-max skip only needs the gap
+  * run. Pure JVM code, no Spark dependency: usable from an Aggregator
+  * `finish`, a mapPartitions WAND scan, and plain ScalaTest/ScalaCheck.
+  */
+object Varint {
+
+  @inline private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  @inline private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  def writeUnsigned(buf: ArrayBuffer[Byte], value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0L) {
+      buf += ((v & 0x7f) | 0x80).toByte
+      v >>>= 7
+    }
+    buf += (v & 0x7f).toByte
+  }
+
+  /** Reader over a byte array with a mutable cursor. */
+  final class Reader(bytes: Array[Byte], var pos: Int = 0) {
+    def readUnsigned(): Long = {
+      var shift = 0
+      var result = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        pos += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+    def readSigned(): Long = unzigzag(readUnsigned())
+  }
+
+  /** Encode postings that are ALREADY strictly sorted by docId. */
+  def encode(docIds: Array[Long], tfs: Array[Int]): Array[Byte] = {
+    require(docIds.length == tfs.length, "docIds/tfs length mismatch")
+    val buf = new ArrayBuffer[Byte](docIds.length * 3 + 8)
+    writeUnsigned(buf, docIds.length.toLong)
+    var i = 0
+    var prev = 0L
+    while (i < docIds.length) {
+      if (i == 0) writeUnsigned(buf, zigzag(docIds(0)))
+      else {
+        val gap = docIds(i) - prev
+        require(gap > 0, s"postings not strictly sorted at $i")
+        writeUnsigned(buf, gap)
+      }
+      prev = docIds(i)
+      i += 1
+    }
+    i = 0
+    while (i < tfs.length) { writeUnsigned(buf, tfs(i).toLong); i += 1 }
+    buf.toArray
+  }
+
+  /** Decode a posting list back to parallel (docIds, tfs) arrays. */
+  def decode(bytes: Array[Byte]): (Array[Long], Array[Int]) = {
+    val r = new Reader(bytes)
+    val n = r.readUnsigned().toInt
+    val docIds = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    var i = 0
+    var prev = 0L
+    while (i < n) {
+      prev = if (i == 0) r.readSigned() else prev + r.readUnsigned()
+      docIds(i) = prev
+      i += 1
+    }
+    i = 0
+    while (i < n) { tfs(i) = r.readUnsigned().toInt; i += 1 }
+    (docIds, tfs)
+  }
+
+  /** Number of postings without decoding the whole list. */
+  def count(bytes: Array[Byte]): Int = new Reader(bytes).readUnsigned().toInt
+}
