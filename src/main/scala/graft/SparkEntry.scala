@@ -66,6 +66,58 @@ object SparkEntry {
 
     // §7 Step 1: naive full-scoring BM25 top-k over the reference query set.
     "bm25_naive_topk" -> ((s, dir) => bm25Naive(s, dir)),
+
+    // A6+F12: build the salted-segment index, globally merge, then decode
+    // every posting list back from its delta+varint bytes and recount —
+    // a full cross-engine codec/build roundtrip check.
+    "index_postings_stats" -> ((s, dir) => {
+      import s.implicits._
+      val (paths, _) = graft.index.IndexBuilder.ensure(s, dir)
+      s.read.parquet(paths.indexDir)
+        .select("term", "postings", "dls")
+        .as[(String, Array[Byte], Array[Byte])]
+        .map { case (term, p, d) =>
+          val (docIds, tfs, _) = graft.index.Postings.decode(p, d)
+          (term, docIds.length.toLong, tfs.map(_.toLong).sum)
+        }
+        .toDF("term", "df", "sum_tf")
+        .orderBy("term")
+    }),
+
+    // S4 segment sink totals: what landed in the salted segments equals the
+    // tokenize relation (sum over all shards).
+    "index_segment_totals" -> ((s, dir) => {
+      val (paths, _) = graft.index.IndexBuilder.ensure(s, dir)
+      s.read.parquet(paths.segmentsDir)
+        .agg(sum("sum_tf").as("total_tokens"), sum("df").as("total_postings"))
+    }),
+
+    // J5/S5: query through the global index (bucket-pruned scan + decode).
+    // Must be rank- and score-identical to bm25_naive_topk.
+    "bm25_index_topk" -> ((s, dir) =>
+      graft.engine.IndexSearch.topK(s, dir, QuerySet.df(s))),
+
+    // T5: sharded block-max WAND. Same oracle as the naive plan.
+    "bm25_wand_topk" -> ((s, dir) =>
+      graft.engine.Wand.topK(s, dir, QuerySet.all)),
+
+    // J6/F10: per-row invariant — the sha256 captured in the docs sidecar at
+    // index time equals the sha256 recomputed from the source table at query
+    // time, for every top-k hit (BASELINE.json input_hint).
+    "sha256_invariant" -> ((s, dir) => {
+      val (paths, _) = graft.index.IndexBuilder.ensure(s, dir)
+      val res = graft.engine.IndexSearch.topK(s, dir, QuerySet.df(s))
+      val docs = s.read.parquet(paths.docsDir)
+        .select(col("repo"), col("path"), col("commit"), col("content_sha"))
+      val src = Corpus.corpus(s, dir)
+        .select(col("repo"), col("path"), col("commit"), sha2(col("content"), 256).as("sha_now"))
+      res.join(docs, Seq("repo", "path", "commit"))
+        .join(src, Seq("repo", "path", "commit"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"),
+          sum(when(col("content_sha") === col("sha_now"), 1L).otherwise(0L)).as("n_sha_match"))
+        .orderBy("query_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +148,28 @@ object SparkEntry {
          #ORDER BY df DESC, term ASC LIMIT 100""".stripMargin('#'),
 
     "bm25_naive_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
+
+    "index_postings_stats" ->
+      s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
+         #SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf
+         #FROM tf GROUP BY term ORDER BY term""".stripMargin('#'),
+
+    "index_segment_totals" ->
+      s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
+         #SELECT CAST(sum(tf) AS BIGINT) AS total_tokens,
+         #       CAST(count(*) AS BIGINT) AS total_postings
+         #FROM tf""".stripMargin('#'),
+
+    "bm25_index_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
+
+    "bm25_wand_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
+
+    // DuckDB recomputes hit counts per query from the same ranked CTE; the
+    // Spark side's n_sha_match is a REAL recomputation (stored-at-index-time
+    // vs recomputed-from-source), so equality here proves the invariant.
+    "sha256_invariant" ->
+      s"""${OracleSql.bm25TopK(QuerySet.duckValues)
+            .replace("SELECT query_id, rank, repo, path, commit, score_r\nFROM ranked WHERE rank <= k\nORDER BY query_id, rank",
+              "SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(count(*) AS BIGINT) AS n_sha_match\nFROM ranked WHERE rank <= k GROUP BY query_id ORDER BY query_id")}""",
   )
 }

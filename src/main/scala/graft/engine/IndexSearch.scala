@@ -1,0 +1,55 @@
+package graft.engine
+
+import graft.index.{IndexBuilder, Postings}
+import graft.score.BM25
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query execution over the built inverted index — the engine analog of the
+  * reference's cache-probe query path (`api/http.go:45-67` + `FindNode`,
+  * `pkg/database/relationship/dgraph.go:62-92`): never rescans the corpus,
+  * reads only the posting lists of the query terms.
+  *
+  * Scan discipline (checked via `.explain`): the global index is partitioned
+  * by term-hash bucket, so the driver pre-computes the buckets of the query
+  * terms and the parquet scan prunes to those directories; the `term IN`
+  * predicate additionally lands in PushedFilters. Postings decode is a
+  * typed flatMap (one row per term → df rows), after which scoring is the
+  * SAME Column expression tree as the naive plan — bit-identical scores.
+  */
+object IndexSearch {
+
+  /** `(query_id, rank, repo, path, commit, score_r)` via the global index. */
+  def topK(spark: SparkSession, sfDir: String, queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (paths, stats) = IndexBuilder.ensure(spark, sfDir)
+
+    val terms = queries.select("term").distinct().as[String].collect().toSeq
+    // bucket(term) must equal the build-side pmod(xxhash64(term), B): compute
+    // it with the same Catalyst expression on a tiny local Dataset.
+    val buckets = terms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(stats.numBuckets)).cast("int"))
+      .as[Int].collect().distinct.toSeq
+
+    val idx = spark.read.parquet(paths.indexDir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select("term", "df", "postings", "dls")
+
+    val decoded = idx.as[(String, Long, Array[Byte], Array[Byte])]
+      .flatMap { case (term, df, p, d) =>
+        val (docIds, tfs, dls) = Postings.decode(p, d)
+        Iterator.range(0, docIds.length).map(i => (term, df, docIds(i), tfs(i), dls(i)))
+      }
+      .toDF("term", "df", "doc_id", "tf", "dl")
+
+    val scored = decoded
+      .join(broadcast(queries.select("query_id", "term", "k")), "term")
+      .groupBy("query_id", "k", "doc_id")
+      .agg(sum(BM25.score(col("tf"), col("df"), col("dl"),
+        lit(stats.nDocs), lit(stats.avgdl))).as("score"))
+
+    val docs = spark.read.parquet(paths.docsDir).select("doc_id", "repo", "path", "commit")
+    NaiveSearch.rankByKeys(scored.join(docs, "doc_id"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.engine
+
+import graft.index.{IndexBuilder, Postings}
+import graft.model.Query
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Block-max WAND top-k (SURVEY.md §2.6 T5, north rule) — sharded for
+  * Spark's execution model:
+  *
+  *  - the salted SEGMENTS (docId-disjoint shards of every posting list) are
+  *    the unit of parallelism: each (salt shard) runs a classic single-node
+  *    block-max WAND over its sub-postings for every query, keeping a k-heap
+  *    and skipping blocks whose upper bound can't reach the heap threshold;
+  *  - shard-local top-k candidates (k + ε-ties) union → the global ranking
+  *    tail re-ranks with the pinned (quantized score, natural key) order.
+  *
+  * Global top-k ⊆ union of shard top-ks, so rank identity with the naive
+  * plan is structural, not statistical. The ε slack ([[Eps]]) keeps any doc
+  * that could still tie at the boundary after 1e-6 score quantization.
+  *
+  * Scale notes: a query touches `numSalts × |terms|` sub-posting rows; doc
+  * upper bounds use per-term `idf × max(blockMax)` for pivoting and
+  * per-block maxima for evaluation skipping. At 10^12 docs each shard's
+  * sub-list is ~1/numSalts of the term's postings — numSalts scales with
+  * the cluster, and no executor ever materializes a full hot-term list.
+  */
+object Wand {
+
+  /** Threshold slack ≥ 2× the 1e-6 score-quantization grid (see class doc). */
+  val Eps: Double = 1e-5
+
+  /** `(query_id, rank, repo, path, commit, score_r)` — rank-identical to
+    * [[NaiveSearch.topK]] on every query.
+    */
+  def topK(spark: SparkSession, sfDir: String, querySet: Seq[Query]): DataFrame = {
+    import spark.implicits._
+    val (paths, stats) = IndexBuilder.ensure(spark, sfDir)
+
+    val allTerms = querySet.flatMap(_.terms).distinct
+    // global df per term (idf is a per-term constant over the WHOLE corpus,
+    // not per shard) — tiny: read the pruned global index metadata.
+    val buckets = allTerms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(stats.numBuckets)).cast("int"))
+      .as[Int].collect().distinct.toSeq
+    val dfMap: Map[String, Long] = spark.read.parquet(paths.indexDir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(allTerms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+
+    val n = stats.nDocs
+    val avgdl = stats.avgdl
+    val queries = querySet // serialized into the closure (small)
+
+    val segs = spark.read.parquet(paths.segmentsDir)
+      .filter(col("term").isin(allTerms: _*))
+      .select("salt", "term", "postings", "dls", "block_max")
+      .as[(Int, String, Array[Byte], Array[Byte], Seq[Double])]
+
+    val candidates = segs
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+        queries.iterator.flatMap { q =>
+          val lists = q.terms.distinct.flatMap { t =>
+            byTerm.get(t).map { case (p, d, bm) =>
+              val (docIds, tfs, dls) = Postings.decode(p, d)
+              TermList(t, Postings.idf(dfMap(t), n), docIds, tfs, dls, bm.toArray)
+            }
+          }
+          wandShardTopK(lists, q.k, avgdl).map { case (docId, score) => (q.queryId, q.k, docId, score) }
+        }
+      }
+      .toDF("query_id", "k", "doc_id", "score")
+
+    val docs = spark.read.parquet(paths.docsDir).select("doc_id", "repo", "path", "commit")
+    NaiveSearch.rankByKeys(candidates.join(docs, "doc_id"))
+  }
+
+  /** One term's decoded sub-postings within a shard. */
+  final case class TermList(
+      term: String, idf: Double,
+      docIds: Array[Long], tfs: Array[Int], dls: Array[Long], blockMax: Array[Double]) {
+    def maxScore: Double = if (blockMax.isEmpty) 0.0 else idf * blockMax.max
+    def blockUpper(pos: Int): Double = idf * blockMax(pos / Postings.BlockSize)
+  }
+
+  /** Classic block-max WAND over decoded shard sub-postings.
+    * Returns every doc whose exact score ≥ (k-th best − [[Eps]]).
+    */
+  def wandShardTopK(lists: Seq[TermList], k: Int, avgdl: Double): Seq[(Long, Double)] = {
+    if (lists.isEmpty || k <= 0) return Nil
+    final class Cursor(val tl: TermList) { var pos: Int = 0
+      def doc: Long = tl.docIds(pos)
+      def done: Boolean = pos >= tl.docIds.length
+      /** galloping seek to first posting with docId >= target */
+      def seek(target: Long): Unit = {
+        var lo = pos
+        var hi = tl.docIds.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1
+          if (tl.docIds(mid) < target) lo = mid + 1 else hi = mid }
+        pos = lo
+      }
+    }
+    val cursors = lists.map(new Cursor(_)).toArray
+    val heap = mutable.PriorityQueue.empty[Double](Ordering[Double].reverse) // min-heap of top scores
+    val evaluated = mutable.ArrayBuffer.empty[(Long, Double)]
+
+    def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head - Eps
+
+    var active = cursors.filterNot(_.done)
+    while (active.nonEmpty) {
+      val sorted = active.sortBy(_.doc)
+      // find pivot: smallest prefix whose summed term upper bounds reach threshold
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (i < sorted.length && p < 0) {
+        acc += sorted(i).tl.maxScore
+        if (acc >= threshold) p = i
+        i += 1
+      }
+      if (p < 0) return finishTies(evaluated, threshold)
+      val pivotDoc = sorted(p).doc
+      if (sorted(0).doc == pivotDoc) {
+        // refined bound from the block maxima at the current positions —
+        // over EVERY cursor sitting on pivotDoc, not just the pivot prefix
+        // (cursors beyond p can share pivotDoc and contribute score)
+        var blockUb = 0.0
+        var j = 0
+        while (j < sorted.length && (j <= p || sorted(j).doc == pivotDoc)) {
+          blockUb += sorted(j).tl.blockUpper(sorted(j).pos); j += 1
+        }
+        if (blockUb >= threshold) {
+          var score = 0.0
+          cursors.foreach { c =>
+            if (!c.done) {
+              if (c.doc < pivotDoc) c.seek(pivotDoc)
+              if (!c.done && c.doc == pivotDoc)
+                score += c.tl.idf * Postings.tfNorm(c.tl.tfs(c.pos), c.tl.dls(c.pos), avgdl)
+            }
+          }
+          if (score >= threshold || heap.size < k) {
+            evaluated += ((pivotDoc, score))
+            heap.enqueue(score)
+            if (heap.size > k) heap.dequeue()
+          }
+        }
+        // advance every cursor sitting on pivotDoc
+        sorted.foreach { c => if (!c.done && c.doc == pivotDoc) c.pos += 1 }
+      } else {
+        // advance all cursors before the pivot up to pivotDoc
+        var j = 0
+        while (j < p) { sorted(j).seek(pivotDoc); j += 1 }
+      }
+      active = cursors.filterNot(_.done)
+      // termination guard: if pivot's list is exhausted the loop re-sorts
+    }
+    finishTies(evaluated, threshold)
+  }
+
+  private def finishTies(evaluated: mutable.ArrayBuffer[(Long, Double)], thr: Double): Seq[(Long, Double)] =
+    if (thr == Double.NegativeInfinity) evaluated.toSeq
+    else evaluated.filter(_._2 >= thr).toSeq
+}

@@ -1,0 +1,263 @@
+package graft.index
+
+import graft.corpus.Corpus
+import graft.tokenize.Tokenizer
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Global corpus statistics captured at build time. */
+final case class IndexStats(version: Int, nDocs: Long, avgdl: Double, totalTokens: Long, numSalts: Int, numBuckets: Int)
+
+/** On-disk layout of one built index. */
+final case class IndexPaths(root: String) {
+  val segmentsDir: String = s"$root/segments"   // (term, df, sum_tf, postings, dls, block_max) partitioned by salt
+  val indexDir: String = s"$root/index"         // globally merged, partitioned by term-hash bucket
+  val docsDir: String = s"$root/docs"           // (doc_id, repo, path, commit, lang, dl, content_sha)
+  val manifestsDir: String = s"$root/manifests" // one JSON per salt partition (the checkpoint unit)
+  val statsPath: String = s"$root/stats.json"
+}
+
+/** The index build pipeline — SURVEY.md §3.2's engine equivalent of the
+  * reference crawl loop, and §7 Step 2/3.
+  *
+  * Stages (each boundary is exactly one shuffle):
+  *   corpus scan → docId assign → tokenize/tf groupBy → salted
+  *   repartition-by-term → per-(term,salt) posting build (Aggregator) →
+  *   segment write + per-salt manifest → global merge (Aggregator) →
+  *   bucket-partitioned global index + stats.
+  *
+  * Salting (north rule): sub-postings are built per `(term, salt)` where
+  * `salt = pmod(xxhash64(doc_id), numSalts)`, so a hot term's postings are
+  * spread over `numSalts` reducers instead of one — no single task ever
+  * owns a stop-word-sized posting list. Map-side partial aggregation
+  * (ObjectHashAggregate) further combines within each task.
+  *
+  * Resume (north rule, ST4/ST5): the checkpoint unit is the salt partition.
+  * A salt is complete iff its manifest JSON exists; on (re)build, salts with
+  * manifests are skipped, salts without are wiped and rebuilt — re-running a
+  * completed build is a no-op, mirroring the reference's idempotent
+  * conditional upserts (`pkg/database/relationship/dgraph.go:110, 162`) and
+  * depth-completeness validation (`dgraph.go:86-90`).
+  */
+object IndexBuilder {
+
+  /** Bump when the on-disk format changes — stale caches self-invalidate. */
+  val FormatVersion: Int = 1
+
+  val DefaultNumSalts: Int = 16
+  val DefaultNumBuckets: Int = 32
+
+  // ---------- JSON helpers (no deps; values are numbers/flat strings) ----------
+
+  private def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def writeJson(path: String, fields: Seq[(String, Any)]): Unit = {
+    val body = fields.map {
+      case (k, v: String) => s"${jstr(k)}: ${jstr(v)}"
+      case (k, v) => s"${jstr(k)}: $v"
+    }.mkString("{", ", ", "}")
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    // atomic publish: write tmp then move — a manifest either exists complete
+    // or not at all (the reference's at-most-once delete is exactly the bug
+    // this avoids, SURVEY.md §7 "quirks to NOT copy")
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readJsonNumber(path: Path, key: String): Option[Double] = {
+    if (!Files.exists(path)) return None
+    val txt = Files.readString(path)
+    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(-?[0-9.eE+]+)").r
+    m.findFirstMatchIn(txt).map(_.group(1).toDouble)
+  }
+
+  def readStats(paths: IndexPaths): Option[IndexStats] = {
+    val p = Paths.get(paths.statsPath)
+    for {
+      v <- readJsonNumber(p, "version")
+      n <- readJsonNumber(p, "n_docs")
+      a <- readJsonNumber(p, "avgdl")
+      t <- readJsonNumber(p, "total_tokens")
+      s <- readJsonNumber(p, "num_salts")
+      b <- readJsonNumber(p, "num_buckets")
+    } yield IndexStats(v.toInt, n.toLong, a, t.toLong, s.toInt, b.toInt)
+  }
+
+  def completedSalts(paths: IndexPaths): Set[Int] = {
+    val dir = Paths.get(paths.manifestsDir)
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("salt-") && s.endsWith(".json") =>
+        s.stripPrefix("salt-").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  /** A build is complete iff stats exist at the current format version and
+    * every salt has its manifest — the completeness watermark (ST5).
+    */
+  def isComplete(paths: IndexPaths, numSalts: Int = DefaultNumSalts): Boolean =
+    readStats(paths).exists(s => s.version == FormatVersion && s.numSalts == numSalts) &&
+      completedSalts(paths) == (0 until numSalts).toSet
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  // ---------- the build ----------
+
+  /** Build (or resume) the index for a corpus. Returns the stats. */
+  def build(
+      spark: SparkSession,
+      corpus: DataFrame,
+      paths: IndexPaths,
+      numSalts: Int = DefaultNumSalts,
+      numBuckets: Int = DefaultNumBuckets,
+      buildArgs: String = ""): IndexStats = {
+
+    val c = Corpus.withDocId(corpus)
+    val tf = Tokenizer.termFreqs(c)
+    val dl = Tokenizer.docLens(tf)
+
+    // Corpus stats: one tiny row to the driver; avgdl parameterizes the
+    // posting Aggregators, so this pass runs first (like the reference
+    // persisting nodes before edges, pkg/crawl/crawl.go:148-166).
+    val statsRow = dl.agg(
+      count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"),
+      sum("dl").as("total")).head()
+    val stats = IndexStats(FormatVersion, statsRow.getLong(0), statsRow.getDouble(1), statsRow.getLong(2), numSalts, numBuckets)
+
+    // Docs sidecar: natural keys, doc length, and the sha256 per-row
+    // invariant captured at index time (BASELINE.json input_hint).
+    if (!Files.exists(Paths.get(s"${paths.docsDir}/_SUCCESS"))) {
+      c.join(dl, "doc_id")
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
+          col("dl"), sha2(col("content"), 256).as("content_sha"))
+        .write.mode("overwrite").parquet(paths.docsDir)
+    }
+
+    // Salted segment build, resumable per salt.
+    val done = completedSalts(paths)
+    val missing = (0 until numSalts).filterNot(done)
+    if (missing.nonEmpty) {
+      // wipe partial (manifest-less) salt dirs so the rerun is idempotent
+      missing.foreach { s => deleteRecursively(Paths.get(s"${paths.segmentsDir}/salt=$s")) }
+
+      val tfd = tf.join(dl, "doc_id")
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(numSalts)).cast("int"))
+        .filter(col("salt").isin(missing: _*))
+
+      val agg = udaf(new PostingAggregator(stats.avgdl),
+        Encoders.rowFor(StructType_tfd))
+      val t0 = System.nanoTime()
+      tfd
+        .repartition(numSalts, col("salt"), col("term"))
+        .groupBy("salt", "term")
+        .agg(agg(col("doc_id"), col("tf"), col("dl")).as("p"))
+        .select(col("salt"), col("term"),
+          col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
+        .write.mode("append").partitionBy("salt").parquet(paths.segmentsDir)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+
+      // Per-salt manifests from read-back (validates what actually landed).
+      val perSalt = spark.read.parquet(paths.segmentsDir)
+        .filter(col("salt").isin(missing: _*))
+        .groupBy("salt")
+        .agg(count(lit(1)).as("terms"), sum("sum_tf").as("tokens"), sum("df").as("postings"))
+        .collect()
+      perSalt.foreach { r =>
+        val salt = r.getAs[Int]("salt")
+        writeJson(s"${paths.manifestsDir}/salt-$salt.json", Seq(
+          "partition_id" -> salt,
+          "segment_path" -> s"${paths.segmentsDir}/salt=$salt",
+          "term_count" -> r.getAs[Long]("terms"),
+          "token_count" -> r.getAs[Long]("tokens"),
+          "posting_count" -> r.getAs[Long]("postings"),
+          "build_args" -> buildArgs,
+          "wall_clock_ms" -> wallMs))
+      }
+      // a salt with zero rows still needs a manifest (possible at tiny sf)
+      val seen = perSalt.map(_.getAs[Int]("salt")).toSet
+      missing.filterNot(seen).foreach { salt =>
+        writeJson(s"${paths.manifestsDir}/salt-$salt.json", Seq(
+          "partition_id" -> salt, "segment_path" -> s"${paths.segmentsDir}/salt=$salt",
+          "term_count" -> 0, "token_count" -> 0, "posting_count" -> 0,
+          "build_args" -> buildArgs, "wall_clock_ms" -> wallMs))
+      }
+    }
+
+    // Global merge: per-salt sub-postings → one posting list per term,
+    // bucket-partitioned by term hash for query-time partition pruning.
+    // Any rebuilt salt invalidates the previous merge.
+    if (missing.nonEmpty) deleteRecursively(Paths.get(paths.indexDir))
+    if (!Files.exists(Paths.get(s"${paths.indexDir}/_SUCCESS"))) {
+      val segs = spark.read.parquet(paths.segmentsDir)
+      val mergeAgg = udaf(new MergePostingsAggregator(stats.avgdl),
+        Encoders.rowFor(StructType_seg))
+      segs
+        .groupBy("term")
+        .agg(mergeAgg(col("postings"), col("dls")).as("p"))
+        .select(col("term"),
+          pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
+          col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(paths.indexDir)
+    }
+
+    writeJson(paths.statsPath, Seq(
+      "version" -> FormatVersion, "n_docs" -> stats.nDocs, "avgdl" -> stats.avgdl,
+      "total_tokens" -> stats.totalTokens, "num_salts" -> numSalts, "num_buckets" -> numBuckets,
+      "build_args" -> buildArgs))
+    stats
+  }
+
+  // input struct encoders for the two udafs
+  private val StructType_tfd = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType)))
+
+  private val StructType_seg = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("postings", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("dls", org.apache.spark.sql.types.BinaryType)))
+
+  private object Encoders {
+    def rowFor(st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(st)
+  }
+
+  /** Strict open — the analog of the reference's completeness validation
+    * (`FindNode` rejecting too-shallow results with "Depth does not match
+    * dgraph result.", `pkg/database/relationship/dgraph.go:86-90`): serving
+    * from an incomplete index is an error, not a partial answer.
+    */
+  def open(paths: IndexPaths, numSalts: Int = DefaultNumSalts): IndexStats = {
+    if (!isComplete(paths, numSalts)) {
+      val missing = (0 until numSalts).toSet -- completedSalts(paths)
+      throw new IllegalStateException(
+        s"index at ${paths.root} incomplete: missing salt manifests ${missing.toSeq.sorted.mkString(",")}")
+    }
+    readStats(paths).get
+  }
+
+  /** Cache-or-build (the reference's query lifecycle, `api/http.go:45-67`):
+    * reuse a complete index, build otherwise. Default root lives under
+    * `target/` keyed by sf-dir name and format version.
+    */
+  def ensure(spark: SparkSession, sfDir: String): (IndexPaths, IndexStats) = {
+    val name = Paths.get(sfDir).getFileName.toString
+    val paths = IndexPaths(s"target/graft-index/v$FormatVersion/$name")
+    if (isComplete(paths)) (paths, readStats(paths).get)
+    else {
+      val stats = build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"sfDir=$sfDir")
+      (paths, stats)
+    }
+  }
+}

@@ -46,7 +46,26 @@ final class PostingAggregator(avgdl: Double)
     a
   }
 
-  override def finish(b: PostingBuf): Row = {
+  override def finish(b: PostingBuf): Row = PostingAggregator.finishRow(b, avgdl)
+
+  override def bufferEncoder: Encoder[PostingBuf] = Encoders.kryo[PostingBuf]
+  override def outputEncoder: Encoder[Row] = PostingAggregator.outputRowEncoder
+}
+
+object PostingAggregator {
+  import org.apache.spark.sql.types._
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("df", LongType, nullable = false),
+    StructField("sum_tf", LongType, nullable = false),
+    StructField("postings", BinaryType, nullable = false),
+    StructField("dls", BinaryType, nullable = false),
+    StructField("block_max", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  def outputRowEncoder: Encoder[Row] = Encoders.row(outputSchema)
+
+  /** Sort the buffer by docId and encode — shared by build and merge. */
+  def finishRow(b: PostingBuf, avgdl: Double): Row = {
     val n = b.docIds.length
     val idx = Array.range(0, n).sortBy(b.docIds(_))
     val docIds = new Array[Long](n)
@@ -59,17 +78,5 @@ final class PostingAggregator(avgdl: Double)
     }
     val e = Postings.encode("", docIds, tfs, dls, avgdl)
     Row(e.df, e.sumTf, e.postings, e.dls, e.blockMax)
-  }
-
-  override def bufferEncoder: Encoder[PostingBuf] = Encoders.kryo[PostingBuf]
-
-  override def outputEncoder: Encoder[Row] = {
-    import org.apache.spark.sql.types._
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(StructType(Seq(
-      StructField("df", LongType, nullable = false),
-      StructField("sum_tf", LongType, nullable = false),
-      StructField("postings", BinaryType, nullable = false),
-      StructField("dls", BinaryType, nullable = false),
-      StructField("block_max", ArrayType(DoubleType, containsNull = false), nullable = false))))
   }
 }

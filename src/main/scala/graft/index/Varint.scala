@@ -60,9 +60,11 @@ object Varint {
     while (i < docIds.length) {
       if (i == 0) writeUnsigned(buf, zigzag(docIds(0)))
       else {
-        val gap = docIds(i) - prev
-        require(gap > 0, s"postings not strictly sorted at $i")
-        writeUnsigned(buf, gap)
+        // compare, don't subtract: ids span the full Long range, so the gap
+        // of a straddling pair overflows — the encoded gap is mod-2^64 and
+        // decode's `prev + gap` wraps back to the exact id
+        require(docIds(i) > prev, s"postings not strictly sorted at $i")
+        writeUnsigned(buf, docIds(i) - prev)
       }
       prev = docIds(i)
       i += 1

@@ -1,0 +1,45 @@
+package graft
+
+import graft.score.BM25
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-driven tokenizer cases (FIXTURES.md §2) — the analog of the
+  * reference's URL-predicate tables (`pkg/page/page_test.go:90-115`).
+  * The split contract is regex-level; these run it on the JVM exactly as
+  * Spark's `split` does (java.util.regex), using the shared pattern.
+  */
+class TokenizerSpec extends AnyFunSuite {
+
+  private def tokens(s: String): Seq[String] =
+    s.toLowerCase.split(graft.tokenize.Tokenizer.SplitRegex).filter(_.nonEmpty).toSeq
+
+  private val cases = Seq(
+    ("Foo.bar(baz)", Seq("foo", "bar", "baz")),
+    ("snake_case stays one", Seq("snake_case", "stays", "one")),
+    ("MixedCASE", Seq("mixedcase")),
+    ("x9 digits2keep", Seq("x9", "digits2keep")),
+    ("", Seq.empty),
+    ("   \t\n ", Seq.empty),
+    ("...leading and trailing///", Seq("leading", "and", "trailing")),
+    ("a+b=c", Seq("a", "b", "c")),
+    ("func handler_0_1 ctx", Seq("func", "handler_0_1", "ctx")))
+
+  cases.foreach { case (in, want) =>
+    test(s"tokenize(${in.take(20)})") { assert(tokens(in) == want) }
+  }
+
+  test("BM25 scalar path == formula (rank-identity contract pinned)") {
+    // idf: N=100, df=10 → ln(1 + 90.5/10.5)
+    assert(graft.index.Postings.idf(10, 100) == math.log(1.0 + (100.0 - 10.0 + 0.5) / (10.0 + 0.5)))
+    // tfNorm: tf=3, dl=40, avgdl=25
+    val expect = (3.0 * BM25.K1Plus1) / (3.0 + BM25.K1 * (BM25.OneMinusB + (BM25.B * 40.0) / 25.0))
+    assert(graft.index.Postings.tfNorm(3, 40L, 25.0) == expect)
+  }
+
+  test("score quantizer is floor(x*1e6+0.5)/1e6") {
+    assert(BM25.quantize(1.2345678) == 1.234568)
+    assert(BM25.quantize(0.0) == 0.0)
+    assert(BM25.quantize(0.0000004) == 0.0)
+    assert(BM25.quantize(0.0000006) == 0.000001)
+  }
+}
