@@ -118,6 +118,19 @@ object SparkEntry {
           sum(when(col("content_sha") === col("sha_now"), 1L).otherwise(0L)).as("n_sha_match"))
         .orderBy("query_id")
     }),
+
+    // ---- training-data pipeline ops (documents / embeddings tables) ----
+    "text_stats" -> ((s, dir) => graft.ops.TextOps.textStats(graft.ops.TextOps.documents(s, dir))),
+    "text_langid" -> ((s, dir) => graft.ops.TextOps.langId(graft.ops.TextOps.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) => graft.ops.TextOps.fingerprint(graft.ops.TextOps.documents(s, dir))),
+    "dedup_exact" -> ((s, dir) => graft.ops.Dedup.exact(graft.ops.TextOps.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => graft.ops.Dedup.ngramJaccardPairs(graft.ops.TextOps.documents(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => graft.ops.Dedup.minhashLshPairs(graft.ops.TextOps.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) => graft.ops.Dedup.simhashPairs(graft.ops.TextOps.documents(s, dir))),
+    "embed_cosine_pairs" -> ((s, dir) => graft.ops.Ann.cosinePairs(graft.ops.Ann.embeddings(s, dir))),
+    "ann_topk_brute" -> ((s, dir) => graft.ops.Ann.bruteForceTopK(graft.ops.Ann.embeddings(s, dir))),
+    "ann_ivf_topk" -> ((s, dir) => graft.ops.Ann.ivfTopK(graft.ops.Ann.embeddings(s, dir))),
+    "mm_binary_meta" -> ((s, dir) => graft.ops.Multimodal.decodeFeatures(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,5 +184,17 @@ object SparkEntry {
       s"""${OracleSql.bm25TopK(QuerySet.duckValues)
             .replace("SELECT query_id, rank, repo, path, commit, score_r\nFROM ranked WHERE rank <= k\nORDER BY query_id, rank",
               "SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(count(*) AS BIGINT) AS n_sha_match\nFROM ranked WHERE rank <= k GROUP BY query_id ORDER BY query_id")}""",
+
+    "text_stats" -> graft.ops.OpsOracleSql.textStats,
+    "text_langid" -> graft.ops.OpsOracleSql.langId,
+    "text_fingerprint" -> graft.ops.OpsOracleSql.fingerprint,
+    "dedup_exact" -> graft.ops.OpsOracleSql.dedupExact,
+    "dedup_ngram_jaccard" -> graft.ops.OpsOracleSql.ngramJaccard,
+    "dedup_minhash_lsh" -> graft.ops.OpsOracleSql.minhashLsh,
+    "dedup_simhash" -> graft.ops.OpsOracleSql.simhashPairs,
+    "embed_cosine_pairs" -> graft.ops.OpsOracleSql.cosinePairs,
+    "ann_topk_brute" -> graft.ops.OpsOracleSql.bruteTopK,
+    "ann_ivf_topk" -> graft.ops.OpsOracleSql.ivfTopK,
+    "mm_binary_meta" -> graft.ops.OpsOracleSql.mmBinaryMeta,
   )
 }

@@ -1,0 +1,240 @@
+package graft.ops
+
+/** DuckDB twins of the training-data ops, generated from the SAME constants
+  * as the Spark plans ([[TextOps]], [[Dedup]], [[Ann]]) — thresholds, list
+  * sizes, stopword lists, quality formula, banding, chunking all come from
+  * one place. Same conventions as [[graft.corpus.OracleSql]]: MATERIALIZED
+  * CTEs, `floor(x*1e6+0.5)/1e6` quantization, `stripMargin('#')`.
+  */
+object OpsOracleSql {
+
+  private def q(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+  private def list(ws: Seq[String]) = ws.mkString("['", "','", "']")
+
+  val tokensCte: String =
+    s"""toks AS MATERIALIZED (
+       #  SELECT doc_id, text,
+       #         list_filter(string_split_regex(lower(text), '${graft.tokenize.Tokenizer.SplitRegex}'), x -> x <> '') AS tokens
+       #  FROM documents
+       #)""".stripMargin('#')
+
+  val shinglesCte: String = {
+    val n = Dedup.ShingleSize
+    s"""sh AS MATERIALIZED (
+       #  SELECT doc_id,
+       #         CASE WHEN len(tokens) >= $n THEN
+       #           list_distinct(list_transform(generate_series(1, len(tokens) - ${n - 1}),
+       #             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+       #         ELSE CAST([] AS VARCHAR[]) END AS shingles
+       #  FROM toks
+       #),
+       #shex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin('#')
+  }
+
+  val textStats: String = {
+    val stop = list(TextOps.EnStopwords)
+    s"""WITH $tokensCte
+       #SELECT doc_id,
+       #  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       #  CAST(len(tokens) AS BIGINT) AS n_terms,
+       #  CAST(length(text) AS BIGINT) AS n_chars_measured,
+       #  ${q("CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")} AS punct_ratio_r,
+       #  ${q(s"CAST(len(list_filter(tokens, x -> list_contains($stop, x))) AS DOUBLE) / CAST(greatest(len(tokens), 1) AS DOUBLE)")} AS stopword_ratio_r,
+       #  ${q(s"0.4 * least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0)" +
+           s" + 0.4 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))" +
+           s" + 0.2 * (1.0 - CAST(len(list_filter(tokens, x -> list_contains($stop, x))) AS DOUBLE) / CAST(greatest(len(tokens), 1) AS DOUBLE))")} AS quality_r
+       #FROM toks ORDER BY doc_id""".stripMargin('#')
+  }
+
+  val langId: String = {
+    val hits = TextOps.LangStopwords.map { case (l, ws) =>
+      s"CAST(len(list_filter(tokens, x -> list_contains(${list(ws)}, x))) AS BIGINT) AS ${l}_hits"
+    }.mkString(",\n#  ")
+    s"""WITH $tokensCte,
+       #h AS MATERIALIZED (
+       #  SELECT doc_id,
+       #  $hits
+       #  FROM toks
+       #)
+       #SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+       #  CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+       #       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+       #       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+       #       WHEN es_hits >= fr_hits THEN 'es'
+       #       ELSE 'fr' END AS predicted
+       #FROM h ORDER BY doc_id""".stripMargin('#')
+  }
+
+  val fingerprint: String =
+    s"""WITH $tokensCte,
+       #fp AS MATERIALIZED (
+       #  SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
+       #  FROM toks
+       #)
+       #SELECT doc_id, fingerprint,
+       #       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       #       count(*) OVER (PARTITION BY fingerprint) AS group_size
+       #FROM fp ORDER BY doc_id""".stripMargin('#')
+
+  val dedupExact: String =
+    s"""WITH s AS MATERIALIZED (SELECT doc_id, sha256(text) AS text_sha FROM documents)
+       #SELECT doc_id, text_sha,
+       #       min(doc_id) OVER (PARTITION BY text_sha) AS canonical_id,
+       #       count(*) OVER (PARTITION BY text_sha) AS group_size
+       #FROM s ORDER BY doc_id""".stripMargin('#')
+
+  private val jaccardCtes: String =
+    s"""inter AS MATERIALIZED (
+       #  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_common
+       #  FROM shex a JOIN shex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       #  GROUP BY a.doc_id, b.doc_id
+       #),
+       #sz AS MATERIALIZED (SELECT doc_id, len(shingles) AS n FROM sh),
+       #jac AS MATERIALIZED (
+       #  SELECT ida, idb,
+       #         CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jacv
+       #  FROM inter JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+       #)""".stripMargin('#')
+
+  val ngramJaccard: String =
+    s"""WITH $tokensCte, $shinglesCte, $jaccardCtes
+       #SELECT ida, idb, ${q("jacv")} AS jac_r FROM jac
+       #WHERE jacv >= ${Dedup.JaccardThreshold}
+       #ORDER BY ida, idb""".stripMargin('#')
+
+  val minhashLsh: String = {
+    val mh = (0 until Dedup.MinhashK)
+      .map(k => s"min(sha256('$k:' || shingle)) AS mh$k").mkString(",\n#    ")
+    val nBands = Dedup.MinhashK / Dedup.MinhashBandRows
+    val bandRows = (0 until nBands).map { b =>
+      val key = (0 until Dedup.MinhashBandRows)
+        .map(r => s"mh${b * Dedup.MinhashBandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n#  UNION ALL ")
+    s"""WITH $tokensCte, $shinglesCte,
+       #sig AS MATERIALIZED (
+       #  SELECT doc_id,
+       #    $mh
+       #  FROM shex GROUP BY doc_id
+       #),
+       #bands AS MATERIALIZED (
+       #  $bandRows
+       #),
+       #cand AS MATERIALIZED (
+       #  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+       #  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       #),
+       #$jaccardCtes
+       #SELECT j.ida, j.idb, ${q("jacv")} AS jac_r
+       #FROM jac j JOIN cand c ON c.ida = j.ida AND c.idb = j.idb
+       #WHERE jacv >= ${Dedup.JaccardThreshold}
+       #ORDER BY j.ida, j.idb""".stripMargin('#')
+  }
+
+  val simhashPairs: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map { j =>
+      s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1) >> ${3 - j % 4}) & 1) * 2 - 1) AS s$j"
+    }.mkString(",\n#    ")
+    val shExpr = (0 until Dedup.SimhashBits)
+      .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val chunkBits = Dedup.SimhashBits / Dedup.SimhashChunks
+    val chunkRows = (0 until Dedup.SimhashChunks).map { c =>
+      s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * chunkBits}) % ${1L << chunkBits} AS v FROM sh2"
+    }.mkString("\n#  UNION ALL ")
+    s"""WITH $tokensCte,
+       #tokx AS MATERIALIZED (
+       #  SELECT doc_id, unnest(tokens) AS t FROM toks
+       #),
+       #tokh AS MATERIALIZED (
+       #  SELECT doc_id, sha256(t) AS h FROM tokx
+       #),
+       #bits AS MATERIALIZED (
+       #  SELECT doc_id,
+       #    $bitSums
+       #  FROM tokh GROUP BY doc_id
+       #),
+       #sh2 AS MATERIALIZED (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM bits),
+       #chunks AS MATERIALIZED (
+       #  $chunkRows
+       #),
+       #cand AS MATERIALIZED (
+       #  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb, x.simhash AS ha, y.simhash AS hb
+       #  FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       #)
+       #SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       #FROM cand WHERE bit_count(xor(ha, hb)) <= ${Dedup.SimhashMaxHamming}
+       #ORDER BY ida, idb""".stripMargin('#')
+  }
+
+  // ---------- embeddings ----------
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, ${Ann.Dim}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val cosinePairs: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       #p AS MATERIALIZED (
+       #  SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosSql("a.embedding", "b.embedding")} AS cosv
+       #  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       #)
+       #SELECT ia, ib, ${q("cosv")} AS cos_r FROM p WHERE cosv >= ${Dedup.CosineThreshold}
+       #ORDER BY ia, ib""".stripMargin('#')
+
+  val bruteTopK: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       #qv AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < ${Ann.NumQueries}),
+       #scored AS MATERIALIZED (
+       #  SELECT q.query_id, e.vec_id, ${q(s"${cosSql("q.qe", "e.embedding")}")} AS cos_r
+       #  FROM e CROSS JOIN qv q WHERE e.vec_id <> q.query_id
+       #),
+       #r AS MATERIALIZED (
+       #  SELECT query_id, vec_id, cos_r,
+       #         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+       #  FROM scored
+       #)
+       #SELECT query_id, rank, vec_id, cos_r FROM r WHERE rank <= ${Ann.TopK}
+       #ORDER BY query_id, rank""".stripMargin('#')
+
+  val ivfTopK: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       #cents AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS ce FROM e WHERE vec_id < ${Ann.NumCentroids}),
+       #assign AS MATERIALIZED (
+       #  SELECT vec_id, embedding, centroid_id FROM (
+       #    SELECT e.vec_id, e.embedding, c.centroid_id,
+       #           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       #    FROM e CROSS JOIN cents c
+       #  ) WHERE rn = 1
+       #),
+       #qv AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < ${Ann.NumQueries}),
+       #probes AS MATERIALIZED (
+       #  SELECT query_id, qe, centroid_id FROM (
+       #    SELECT q.query_id, q.qe, c.centroid_id,
+       #           row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       #    FROM qv q CROSS JOIN cents c
+       #  ) WHERE rn <= ${Ann.NProbe}
+       #),
+       #scored AS MATERIALIZED (
+       #  SELECT p.query_id, a.vec_id, ${q(s"${cosSql("p.qe", "a.embedding")}")} AS cos_r
+       #  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+       #  WHERE a.vec_id <> p.query_id
+       #),
+       #r AS MATERIALIZED (
+       #  SELECT query_id, vec_id, cos_r,
+       #         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+       #  FROM scored
+       #)
+       #SELECT query_id, rank, vec_id, cos_r FROM r WHERE rank <= ${Ann.TopK}
+       #ORDER BY query_id, rank""".stripMargin('#')
+
+  val mmBinaryMeta: String =
+    s"""SELECT doc_id,
+       #       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       #       substr(sha256(text), 1, 8) AS sha_prefix,
+       #       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
+       #       CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS tail_byte,
+       #       'stub-v1' AS decoder
+       #FROM documents ORDER BY doc_id""".stripMargin('#')
+}
