@@ -1,24 +1,95 @@
 package graft
+
+import graft.corpus.Corpus
+import graft.engine.{IndexSearch, NaiveSearch, Wand}
+import graft.index.{IndexBuilder, IndexPaths}
+import graft.queries.QuerySet
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Benchmark main — emits ONE JSON line per the driver contract:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Components (all seconds):
+  *  - index_build_full:   cold corpus → segments → merge → stats
+  *  - bm25_naive_set:     full-scoring query set (no index)
+  *  - query_index_p50/p99, query_wand_p50/p99: per-query latency over the
+  *    reference query set against the cached index
+  * Plus informational extras: docs_per_sec, n_docs.
+  */
 object Bench {
+
+  def deleteTree(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  def percentile(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+  }
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def run(spark: SparkSession, sfDir: String, indexRoot: String): (Map[String, Double], Map[String, Double]) = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val paths = IndexPaths(indexRoot)
+    deleteTree(indexRoot)
+
+    val (stats, tBuild) = time {
+      IndexBuilder.build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"bench-$sfName")
+    }
+
+    val (_, tNaive) = time {
+      NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark)).count()
+    }
+
+    // warm the index reader once, then per-query latencies
+    IndexSearch.topKAt(spark, paths, QuerySet.df(spark)).count()
+    val reps = 2
+    val indexLat = for { _ <- 1 to reps; q <- QuerySet.all } yield {
+      import spark.implicits._
+      val qdf = Seq(q).flatMap(x => x.terms.map(t => (x.queryId, t, x.k)))
+        .toDF("query_id", "term", "k")
+      time(IndexSearch.topKAt(spark, paths, qdf).count())._2
+    }
+    val wandLat = for { _ <- 1 to reps; q <- QuerySet.all } yield
+      time(Wand.topKAt(spark, paths, Seq(q)).count())._2
+
+    val queries = Map(
+      "index_build_full" -> tBuild,
+      "bm25_naive_set" -> tNaive,
+      "query_index_p50" -> percentile(indexLat, 0.5),
+      "query_index_p99" -> percentile(indexLat, 0.99),
+      "query_wand_p50" -> percentile(wandLat, 0.5),
+      "query_wand_p99" -> percentile(wandLat, 0.99))
+    val extras = Map(
+      "docs_per_sec" -> stats.nDocs / tBuild,
+      "n_docs" -> stats.nDocs.toDouble)
+    (queries, extras)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (queries, extras) = run(spark, sfDir, s"target/graft-index/bench-cpus$cpus")
+    val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val ex = extras.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val total = queries.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$ex,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

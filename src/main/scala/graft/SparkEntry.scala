@@ -131,6 +131,43 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, dir) => graft.ops.Ann.bruteForceTopK(graft.ops.Ann.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => graft.ops.Ann.ivfTopK(graft.ops.Ann.embeddings(s, dir))),
     "mm_binary_meta" -> ((s, dir) => graft.ops.Multimodal.decodeFeatures(s, dir)),
+
+    // J1+J2: build on 80% of the corpus, then incrementally add the full
+    // corpus — anti-join keeps only the new 20%, sort-merge full_outer join
+    // merges delta postings into the global index. Result must equal the
+    // single-shot full build (oracle = full-corpus tf aggregate).
+    "index_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val name = java.nio.file.Paths.get(dir).getFileName.toString
+      val full = Corpus.corpus(s, dir)
+      val base = Corpus.withDocId(full)
+        .filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
+        .select("repo", "path", "commit", "lang", "content")
+      val basePaths = graft.index.IndexPaths(
+        s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-base-$name")
+      if (!graft.index.IndexBuilder.isComplete(basePaths))
+        graft.index.IndexBuilder.build(s, base, basePaths, buildArgs = s"incr-base-$dir")
+      val outPaths = graft.index.IndexPaths(
+        s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-out-$name")
+      graft.index.Incremental.addBatch(s, basePaths, full, outPaths)
+      s.read.parquet(outPaths.indexDir)
+        .select("term", "postings", "dls")
+        .as[(String, Array[Byte], Array[Byte])]
+        .map { case (term, p, d) =>
+          val (ids, tfs, _) = graft.index.Postings.decode(p, d)
+          (term, ids.length.toLong, tfs.map(_.toLong).sum)
+        }
+        .toDF("term", "df", "sum_tf")
+        .orderBy("term")
+    }),
+
+    // ST1/ST2: streamed tokenize+tf must equal the batch aggregation.
+    "streaming_tokenize_tf" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamedTermCounts(s, dir)),
+
+    // ST6: watermarked tumbling-window counts over the events stream.
+    "streaming_window_events" -> ((s, dir) =>
+      graft.streaming.StreamingOps.windowedEventCounts(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,5 +233,24 @@ object SparkEntry {
     "ann_topk_brute" -> graft.ops.OpsOracleSql.bruteTopK,
     "ann_ivf_topk" -> graft.ops.OpsOracleSql.ivfTopK,
     "mm_binary_meta" -> graft.ops.OpsOracleSql.mmBinaryMeta,
+
+    // incremental result == single-shot full index == the tf aggregate
+    "index_incremental" ->
+      s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
+         #SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf
+         #FROM tf GROUP BY term ORDER BY term""".stripMargin('#'),
+
+    "streaming_tokenize_tf" ->
+      s"""WITH t AS MATERIALIZED (
+         #  SELECT unnest(list_filter(string_split_regex(lower(text), '${graft.tokenize.Tokenizer.SplitRegex}'), x -> x <> '')) AS term
+         #  FROM documents
+         #)
+         #SELECT term, count(*) AS n FROM t GROUP BY term ORDER BY term""".stripMargin('#'),
+
+    "streaming_window_events" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws_epoch, event_type,
+         #       count(*) AS n,
+         #       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value_r
+         #FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin('#'),
   )
 }

@@ -21,8 +21,14 @@ object IndexSearch {
 
   /** `(query_id, rank, repo, path, commit, score_r)` via the global index. */
   def topK(spark: SparkSession, sfDir: String, queries: DataFrame): DataFrame = {
+    val (paths, _) = IndexBuilder.ensure(spark, sfDir)
+    topKAt(spark, paths, queries)
+  }
+
+  /** Same, against an already-built (complete) index. */
+  def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, queries: DataFrame): DataFrame = {
     import spark.implicits._
-    val (paths, stats) = IndexBuilder.ensure(spark, sfDir)
+    val stats = IndexBuilder.open(paths)
 
     val terms = queries.select("term").distinct().as[String].collect().toSeq
     // bucket(term) must equal the build-side pmod(xxhash64(term), B): compute

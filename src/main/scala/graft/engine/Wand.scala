@@ -35,8 +35,14 @@ object Wand {
     * [[NaiveSearch.topK]] on every query.
     */
   def topK(spark: SparkSession, sfDir: String, querySet: Seq[Query]): DataFrame = {
+    val (paths, _) = IndexBuilder.ensure(spark, sfDir)
+    topKAt(spark, paths, querySet)
+  }
+
+  /** Same, against an already-built (complete) index. */
+  def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, querySet: Seq[Query]): DataFrame = {
     import spark.implicits._
-    val (paths, stats) = IndexBuilder.ensure(spark, sfDir)
+    val stats = IndexBuilder.open(paths)
 
     val allTerms = querySet.flatMap(_.terms).distinct
     // global df per term (idf is a per-term constant over the WHOLE corpus,
