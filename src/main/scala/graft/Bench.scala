@@ -45,13 +45,16 @@ object Bench {
     val (stats, tBuild) = time {
       IndexBuilder.build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"bench-$sfName")
     }
+    System.err.println(s"[bench] build done in $tBuild s")
 
     val (_, tNaive) = time {
       NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark)).count()
     }
+    System.err.println(s"[bench] naive set done in $tNaive s")
 
     // warm the index reader once, then per-query latencies
-    IndexSearch.topKAt(spark, paths, QuerySet.df(spark)).count()
+    val (_, tWarm) = time(IndexSearch.topKAt(spark, paths, QuerySet.df(spark)).count())
+    System.err.println(s"[bench] index warm set done in $tWarm s")
     val reps = 2
     val indexLat = for { _ <- 1 to reps; q <- QuerySet.all } yield {
       import spark.implicits._
@@ -59,8 +62,10 @@ object Bench {
         .toDF("query_id", "term", "k")
       time(IndexSearch.topKAt(spark, paths, qdf).count())._2
     }
+    System.err.println(s"[bench] index per-query done: ${indexLat.sum} s total")
     val wandLat = for { _ <- 1 to reps; q <- QuerySet.all } yield
       time(Wand.topKAt(spark, paths, Seq(q)).count())._2
+    System.err.println(s"[bench] wand per-query done: ${wandLat.sum} s total")
 
     val queries = Map(
       "index_build_full" -> tBuild,

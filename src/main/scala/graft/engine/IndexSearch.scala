@@ -28,7 +28,8 @@ object IndexSearch {
   /** Same, against an already-built (complete) index. */
   def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, queries: DataFrame): DataFrame = {
     import spark.implicits._
-    val stats = IndexBuilder.open(paths)
+    val reader = IndexReader.get(spark, paths)
+    val stats = reader.stats
 
     val terms = queries.select("term").distinct().as[String].collect().toSeq
     // bucket(term) must equal the build-side pmod(xxhash64(term), B): compute
@@ -37,7 +38,7 @@ object IndexSearch {
       .select(pmod(xxhash64(col("value")), lit(stats.numBuckets)).cast("int"))
       .as[Int].collect().distinct.toSeq
 
-    val idx = spark.read.parquet(paths.indexDir)
+    val idx = reader.index
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select("term", "df", "postings", "dls")
@@ -55,7 +56,7 @@ object IndexSearch {
       .agg(sum(BM25.score(col("tf"), col("df"), col("dl"),
         lit(stats.nDocs), lit(stats.avgdl))).as("score"))
 
-    val docs = spark.read.parquet(paths.docsDir).select("doc_id", "repo", "path", "commit")
+    val docs = reader.docs.select("doc_id", "repo", "path", "commit")
     NaiveSearch.rankByKeys(scored.join(docs, "doc_id"))
   }
 }

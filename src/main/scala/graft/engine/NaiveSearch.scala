@@ -28,7 +28,10 @@ object NaiveSearch {
     * `(query_id, term, k)`; returns `(query_id, k, doc_id, score)`.
     */
   def scoreAll(corpusWithId: DataFrame, queries: DataFrame): DataFrame = {
-    val tf = Tokenizer.termFreqs(corpusWithId) // (doc_id, term, tf)
+    // tf feeds four plan branches (scored join, dfq, dl, stats); without a
+    // persist the corpus synthesis + tokenize pipeline executes four times
+    val tf = Tokenizer.termFreqs(corpusWithId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = Tokenizer.docLens(tf)             // (doc_id, dl)
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -42,7 +42,8 @@ object Wand {
   /** Same, against an already-built (complete) index. */
   def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, querySet: Seq[Query]): DataFrame = {
     import spark.implicits._
-    val stats = IndexBuilder.open(paths)
+    val reader = IndexReader.get(spark, paths)
+    val stats = reader.stats
 
     val allTerms = querySet.flatMap(_.terms).distinct
     // global df per term (idf is a per-term constant over the WHOLE corpus,
@@ -50,7 +51,7 @@ object Wand {
     val buckets = allTerms.toDS()
       .select(pmod(xxhash64(col("value")), lit(stats.numBuckets)).cast("int"))
       .as[Int].collect().distinct.toSeq
-    val dfMap: Map[String, Long] = spark.read.parquet(paths.indexDir)
+    val dfMap: Map[String, Long] = reader.index
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(allTerms: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
@@ -59,7 +60,11 @@ object Wand {
     val avgdl = stats.avgdl
     val queries = querySet // serialized into the closure (small)
 
-    val segs = spark.read.parquet(paths.segmentsDir)
+    // segments are partitioned by (salt, bucket): the bucket IN filter
+    // prunes to |query-term buckets| directories per salt, and the term IN
+    // predicate pushes into the parquet scan
+    val segs = reader.segments
+      .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(allTerms: _*))
       .select("salt", "term", "postings", "dls", "block_max")
       .as[(Int, String, Array[Byte], Array[Byte], Seq[Double])]
@@ -80,7 +85,7 @@ object Wand {
       }
       .toDF("query_id", "k", "doc_id", "score")
 
-    val docs = spark.read.parquet(paths.docsDir).select("doc_id", "repo", "path", "commit")
+    val docs = reader.docs.select("doc_id", "repo", "path", "commit")
     NaiveSearch.rankByKeys(candidates.join(docs, "doc_id"))
   }
 

@@ -44,7 +44,7 @@ final case class IndexPaths(root: String) {
 object IndexBuilder {
 
   /** Bump when the on-disk format changes — stale caches self-invalidate. */
-  val FormatVersion: Int = 1
+  val FormatVersion: Int = 2
 
   val DefaultNumSalts: Int = 16
   val DefaultNumBuckets: Int = 32
@@ -122,8 +122,11 @@ object IndexBuilder {
       numBuckets: Int = DefaultNumBuckets,
       buildArgs: String = ""): IndexStats = {
 
-    val c = Corpus.withDocId(corpus)
-    val tf = Tokenizer.termFreqs(c)
+    // The corpus/tokenize lineage feeds four actions (stats, docs write,
+    // segment build, merge read-back); persist the narrow relations once
+    // instead of recomputing synthesis+tokenize per action.
+    val c = Corpus.withDocId(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = Tokenizer.termFreqs(c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = Tokenizer.docLens(tf)
 
     // Corpus stats: one tiny row to the driver; avgdl parameterizes the
@@ -158,13 +161,34 @@ object IndexBuilder {
       val agg = udaf(new PostingAggregator(stats.avgdl),
         Encoders.rowFor(StructType_tfd))
       val t0 = System.nanoTime()
-      tfd
-        .repartition(numSalts, col("salt"), col("term"))
-        .groupBy("salt", "term")
-        .agg(agg(col("doc_id"), col("tf"), col("dl")).as("p"))
-        .select(col("salt"), col("term"),
-          col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
-        .write.mode("append").partitionBy("salt").parquet(paths.segmentsDir)
+      // groupBy shuffles on (salt, term) with spark.sql.shuffle.partitions
+      // tasks — hot terms are already spread across salts, and every core
+      // gets work (an explicit repartition(numSalts) capped parallelism at
+      // numSalts tasks and left half the cluster idle). The posting build
+      // has ~10^4+ groups per task, far past ObjectHashAggregate's default
+      // 128-group fallback-to-sort threshold; the hash path with the
+      // primitive-array buffer is both faster and bounded (total buffer
+      // memory == total postings), so raise the threshold for this job.
+      val prevFallback = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      try {
+        tfd
+          .groupBy("salt", "term")
+          .agg(agg(col("doc_id"), col("tf"), col("dl")).as("p"))
+          .select(col("salt"), col("term"),
+            pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
+            col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
+          // co-locate each (salt, bucket) output dir on one task: without
+          // this, every agg task writes a sliver of every dir → ~16k tiny
+          // files; with it, exactly one file per partition dir
+          .repartition(col("salt"), col("bucket"))
+          .write.mode("append").partitionBy("salt", "bucket").parquet(paths.segmentsDir)
+      } finally {
+        prevFallback match {
+          case Some(v) => spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+          case None => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+        }
+      }
       val wallMs = (System.nanoTime() - t0) / 1000000
 
       // Per-salt manifests from read-back (validates what actually landed).
@@ -202,15 +226,29 @@ object IndexBuilder {
       val segs = spark.read.parquet(paths.segmentsDir)
       val mergeAgg = udaf(new MergePostingsAggregator(stats.avgdl),
         Encoders.rowFor(StructType_seg))
-      segs
-        .groupBy("term")
-        .agg(mergeAgg(col("postings"), col("dls")).as("p"))
-        .select(col("term"),
-          pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
-          col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(paths.indexDir)
+      val prevFallback = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      try {
+        segs
+          .groupBy("term")
+          .agg(mergeAgg(col("postings"), col("dls")).as("p"))
+          .select(col("term"),
+            pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
+            col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(paths.indexDir)
+      } finally {
+        prevFallback match {
+          case Some(v) => spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+          case None => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+        }
+      }
     }
 
+    c.unpersist()
+    tf.unpersist()
+    // a (re)build invalidates any resident reader on this root
+    graft.engine.IndexReader.invalidate(paths.root)
     writeJson(paths.statsPath, Seq(
       "version" -> FormatVersion, "n_docs" -> stats.nDocs, "avgdl" -> stats.avgdl,
       "total_tokens" -> stats.totalTokens, "num_salts" -> numSalts, "num_buckets" -> numBuckets,

@@ -23,14 +23,14 @@ final class MergePostingsAggregator(avgdl: Double)
     val (docIds, tfs, dls) = Postings.decode(in.getAs[Array[Byte]](0), in.getAs[Array[Byte]](1))
     var i = 0
     while (i < docIds.length) {
-      b.docIds += docIds(i); b.tfs += tfs(i); b.dls += dls(i)
+      b.add(docIds(i), tfs(i), dls(i))
       i += 1
     }
     b
   }
 
   override def merge(a: PostingBuf, b: PostingBuf): PostingBuf = {
-    a.docIds ++= b.docIds; a.tfs ++= b.tfs; a.dls ++= b.dls
+    a.addAll(b)
     a
   }
 

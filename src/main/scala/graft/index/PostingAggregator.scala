@@ -2,17 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Aggregator
-import scala.collection.mutable.ArrayBuffer
-
-/** Mutable aggregation buffer: unsorted parallel arrays of (docId, tf, dl).
-  * Kryo-encoded; within a partition Spark's ObjectHashAggregate keeps the
-  * live object, so appends are amortized O(1) (a plain array-concat buffer
-  * would go quadratic).
-  */
-final class PostingBuf(
-    val docIds: ArrayBuffer[Long] = new ArrayBuffer[Long],
-    val tfs: ArrayBuffer[Int] = new ArrayBuffer[Int],
-    val dls: ArrayBuffer[Long] = new ArrayBuffer[Long]) extends Serializable
 
 /** The core index-build aggregate (SURVEY.md §2.5 A6): builds one term's
   * delta+varint-compressed posting list with block-max metadata, directly
@@ -25,7 +14,10 @@ final class PostingBuf(
   *
   * Used as `groupBy("term").agg(udaf(new PostingAggregator(avgdl))(...))`;
   * ObjectHashAggregate does map-side partial merge, and falls back to
-  * sort-based aggregation automatically when groups exceed memory.
+  * sort-based aggregation automatically when groups exceed memory. The
+  * buffer is [[PostingBuf]] — primitive growable arrays with a compact
+  * Kryo wire form (an ArrayBuffer[Long] buffer boxed every id and was the
+  * GC bottleneck of the sf0.1 build).
   */
 final class PostingAggregator(avgdl: Double)
     extends Aggregator[Row, PostingBuf, Row] {
@@ -33,16 +25,12 @@ final class PostingAggregator(avgdl: Double)
   override def zero: PostingBuf = new PostingBuf
 
   override def reduce(b: PostingBuf, in: Row): PostingBuf = {
-    b.docIds += in.getLong(0)
-    b.tfs += in.getLong(1).toInt
-    b.dls += in.getLong(2)
+    b.add(in.getLong(0), in.getLong(1).toInt, in.getLong(2))
     b
   }
 
   override def merge(a: PostingBuf, b: PostingBuf): PostingBuf = {
-    a.docIds ++= b.docIds
-    a.tfs ++= b.tfs
-    a.dls ++= b.dls
+    a.addAll(b)
     a
   }
 
@@ -66,7 +54,7 @@ object PostingAggregator {
 
   /** Sort the buffer by docId and encode — shared by build and merge. */
   def finishRow(b: PostingBuf, avgdl: Double): Row = {
-    val n = b.docIds.length
+    val n = b.size
     val idx = Array.range(0, n).sortBy(b.docIds(_))
     val docIds = new Array[Long](n)
     val tfs = new Array[Int](n)

@@ -1,0 +1,83 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.queries.QuerySet
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2: "verify in explain() during
+  * bring-up") — the plans the engine relies on at 100 TB must actually be
+  * the plans Catalyst picks at test scale:
+  *
+  *  - query-term filters reach the index parquet scan (PushedFilters) and
+  *    the bucket partition column prunes directories (PartitionFilters);
+  *  - the tiny query set broadcasts (BroadcastHashJoin), never shuffles
+  *    the big tf relation on term at query time;
+  *  - the incremental index merge is a SortMergeJoin on term;
+  *  - the corpus scan prunes lineitem to only the synthesis columns.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("index cold scan: term filter pushed down + bucket partitions pruned") {
+    import org.apache.spark.sql.functions._
+    val (paths, _) = graft.index.IndexBuilder.ensure(spark, sfDir)
+    // the cold-start plan (what a fresh executor scan runs): filters must
+    // reach the parquet source
+    val cold = spark.read.parquet(paths.indexDir)
+      .filter(col("bucket").isin(0, 1, 2))
+      .filter(col("term").isin("func", "buffer"))
+      .select("term", "df", "postings")
+    val p = plan(cold)
+    assert(p.contains("PushedFilters") && p.contains("In(term"), s"term filter not pushed:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), s"no bucket pruning:\n$p")
+  }
+
+  test("index hot path: query runs against the resident cached reader") {
+    val (paths, _) = graft.index.IndexBuilder.ensure(spark, sfDir)
+    val p = plan(graft.engine.IndexSearch.topKAt(spark, paths, QuerySet.df(spark)))
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
+      s"hot query path does not use the cached index:\n$p")
+  }
+
+  test("naive BM25: query set joins are broadcast, not shuffled") {
+    val p = plan(graft.engine.NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark)))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in naive plan:\n$p")
+  }
+
+  test("corpus scan prunes lineitem to synthesis columns only") {
+    val p = plan(Corpus.corpus(spark, sfDir))
+    // ReadSchema for lineitem must not include e.g. l_extendedprice/l_tax
+    assert(!p.contains("l_extendedprice") && !p.contains("l_tax") && !p.contains("l_shipdate"),
+      s"lineitem scan reads unused columns:\n$p")
+  }
+
+  test("incremental merge is a SortMergeJoin (full_outer on term)") {
+    // build tiny base + delta through the public path and inspect the plan
+    // indirectly: hint("merge") + full_outer on 1-row-per-term sides must
+    // select SortMergeJoin in the executed plan.
+    val existing = spark.range(0, 1000).selectExpr("concat('t', id) AS term", "encode(concat('p', id), 'UTF-8') AS postings_a", "encode(concat('d', id), 'UTF-8') AS dls_a")
+    val delta = spark.range(500, 1500).selectExpr("concat('t', id) AS term", "encode(concat('p', id), 'UTF-8') AS postings_b", "encode(concat('d', id), 'UTF-8') AS dls_b")
+    val joined = existing.hint("merge").join(delta, Seq("term"), "full_outer")
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), s"merge hint did not yield SMJ:\n$p")
+  }
+}
