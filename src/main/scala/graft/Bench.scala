@@ -63,6 +63,7 @@ object Bench {
       time(IndexSearch.topKAt(spark, paths, qdf).count())._2
     }
     System.err.println(s"[bench] index per-query done: ${indexLat.sum} s total")
+    Wand.topKAt(spark, paths, QuerySet.all).count() // warm the segment cache
     val wandLat = for { _ <- 1 to reps; q <- QuerySet.all } yield
       time(Wand.topKAt(spark, paths, Seq(q)).count())._2
     System.err.println(s"[bench] wand per-query done: ${wandLat.sum} s total")

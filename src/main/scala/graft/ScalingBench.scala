@@ -1,52 +1,67 @@
 package graft
 
+import graft.corpus.Corpus
+import graft.engine.Wand
+import graft.index.{IndexBuilder, IndexPaths}
+import graft.queries.QuerySet
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scaling-efficiency evidence for the north rule's N vs 4N criterion.
   *
   * No real cluster exists in this sandbox, so per the baseline protocol the
-  * SAME job (cold index build + query set) runs at two `local[n]` levels on
-  * the same input; efficiency = (T_N / T_4N) / 4. Emits one JSON line per
-  * level plus a summary line; results land in BASELINE.md.
+  * SAME job runs at two `local[n]` levels on the same input; efficiency =
+  * (T_N / T_4N) / 4. Two methodology notes, both learned the hard way:
   *
-  * Usage: `runMain graft.ScalingBench [sfDir] [nLow] [nHigh]` (default
-  * /root/testdata/sf0.1 8 32).
+  *  - one JVM per level: running both levels in one process contaminates
+  *    the second leg (heap/GC carryover inflated a 32-core build 52 → 90 s);
+  *  - the corpus is replicated `k×` (deterministic commit-suffix variants,
+  *    distinct docIds) so the parallel portion dominates: at plain sf0.1
+  *    the ~25-30 s of fixed JVM/codegen/planning cost swamps the scalable
+  *    work and no core count can show its speedup.
+  *
+  * Usage (one leg per invocation, efficiency computed across legs):
+  * ```
+  * sbt -batch "runMain graft.ScalingBench /root/testdata/sf0.1 8 4"
+  * sbt -batch "runMain graft.ScalingBench /root/testdata/sf0.1 32 4"
+  * ```
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nLow = args.lift(1).map(_.toInt).getOrElse(8)
-    val nHigh = args.lift(2).map(_.toInt).getOrElse(32)
+    val cpus = args.lift(1).map(_.toInt).getOrElse(8)
+    val replicate = args.lift(2).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val base = Corpus.corpus(spark, sfDir)
+      // k deterministic variants with distinct (repo,path,commit) keys —
+      // content identical, so term statistics scale uniformly
+      val corpus =
+        if (replicate <= 1) base
+        else (0 until replicate).map { i =>
+          base.withColumn("commit",
+            concat(substring(col("commit"), 1, 8), lit(f"r$i%02d")))
+        }.reduce(_ union _)
 
-    def runAt(cpus: Int): (Map[String, Double], Map[String, Double]) = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus.toString)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      try Bench.run(spark, sfDir, s"target/graft-index/scaling-cpus$cpus")
-      finally spark.stop()
-    }
-
-    val results = Seq(nLow, nHigh).map { n =>
-      val (queries, extras) = runAt(n)
-      val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      val ex = extras.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      println(s"""{"metric":"scaling","cpus":$n,"queries":$qs,$ex,"sf":"$sfDir"}""")
-      n -> queries
-    }.toMap
-
-    val tLow = results(nLow)("index_build_full")
-    val tHigh = results(nHigh)("index_build_full")
-    val factor = nHigh.toDouble / nLow
-    val eff = (tLow / tHigh) / factor
-    val qLow = results(nLow)("query_wand_p50")
-    val qHigh = results(nHigh)("query_wand_p50")
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"n_low":$nLow,"n_high":$nHigh,""" +
-      s""""build_sec_low":$tLow,"build_sec_high":$tHigh,""" +
-      s""""wand_p50_low":$qLow,"wand_p50_high":$qHigh,"sf":"$sfDir"}""")
+      val root = s"target/graft-index/scaling-cpus$cpus-x$replicate"
+      Bench.deleteTree(root)
+      val (stats, tBuild) = Bench.time {
+        IndexBuilder.build(spark, corpus, IndexPaths(root), buildArgs = s"scaling x$replicate")
+      }
+      System.err.println(s"[scaling] build done in $tBuild s")
+      val (_, tWand) = Bench.time {
+        Wand.topKAt(spark, IndexPaths(root), QuerySet.all).count()
+      }
+      println(s"""{"metric":"scaling","cpus":$cpus,"replicate":$replicate,""" +
+        s""""build_sec":$tBuild,"docs_per_sec":${stats.nDocs / tBuild},""" +
+        s""""n_docs":${stats.nDocs},"wand_set_sec":$tWand,"sf":"$sfDir"}""")
+    } finally spark.stop()
   }
 }

@@ -168,6 +168,18 @@ object SparkEntry {
     // ST6: watermarked tumbling-window counts over the events stream.
     "streaming_window_events" -> ((s, dir) =>
       graft.streaming.StreamingOps.windowedEventCounts(s, dir)),
+
+    // E2 result assembly: nested per-query hit lists (the reference returns
+    // a recursive JSON tree, page.go:136-164; the engine's analog is an
+    // ordered array<struct> per query). Not SQL-expressible for the hash
+    // compare → rows-only check (no oracleSql entry).
+    "bm25_nested_results" -> ((s, dir) => {
+      val flat = graft.engine.IndexSearch.topK(s, dir, QuerySet.df(s))
+      flat.groupBy("query_id")
+        .agg(sort_array(collect_list(struct(
+          col("rank"), col("repo"), col("path"), col("commit"), col("score_r")))).as("hits"))
+        .orderBy("query_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -36,9 +36,17 @@ object Corpus {
   def raw(spark: SparkSession, sfDir: String): DataFrame = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    // The test input is one small parquet file = ONE scan task; without an
+    // explicit exchange the whole heavy synthesis (string building, repeat,
+    // vocab CASEs) runs single-threaded before the first shuffle. Explicit
+    // partition count so AQE does not coalesce the small exchange back to 1.
+    // (At real corpus scale the source has many splits and this is a no-op
+    // cost: one narrow shuffle of the raw keys.)
+    val p = spark.sparkContext.defaultParallelism
     // Only the columns the synthesis needs — Catalyst prunes the scan.
     val j = li
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag")
+      .repartition(p, col("l_orderkey"))
       .join(ord.select("o_orderkey", "o_custkey"), li("l_orderkey") === ord("o_orderkey"))
 
     val kwA = pick(KwA, col("l_partkey"))

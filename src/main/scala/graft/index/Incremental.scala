@@ -41,8 +41,9 @@ object Incremental {
     // @if(eq(len(page),0)) upsert guard.
     val fresh = incoming.join(existingIds, Seq("doc_id"), "left_anti")
 
-    val tf = Tokenizer.termFreqs(fresh)
-    val dl = Tokenizer.docLens(tf)
+    val tf = Tokenizer.termFreqsWithDl(fresh)
+    val dl = tf.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("dl")).distinct()
 
     // new global stats over old ∪ fresh doc lengths
     val oldDls = spark.read.parquet(basePaths.docsDir).select(col("doc_id"), col("dl"))
@@ -52,14 +53,9 @@ object Incremental {
       sRow.getLong(2), baseStats.numSalts, baseStats.numBuckets)
 
     // delta postings per term (small batch → single-level aggregation)
-    val deltaAgg = udaf(new PostingAggregator(newStats.avgdl),
-      org.apache.spark.sql.Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType)))))
-    val delta = tf.join(dl, "doc_id")
+    val delta = tf
       .groupBy("term")
-      .agg(deltaAgg(col("doc_id"), col("tf"), col("dl")).as("p"))
+      .agg(PostingAggExprs.buildPostings(newStats.avgdl, col("doc_id"), col("tf"), col("dl")).as("p"))
       .select(col("term"), col("p.postings").as("postings_b"), col("p.dls").as("dls_b"))
 
     val existing = spark.read.parquet(basePaths.indexDir)

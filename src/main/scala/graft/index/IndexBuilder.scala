@@ -121,29 +121,39 @@ object IndexBuilder {
       numSalts: Int = DefaultNumSalts,
       numBuckets: Int = DefaultNumBuckets,
       buildArgs: String = ""): IndexStats = {
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      System.err.println(f"[build] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
 
     // The corpus/tokenize lineage feeds four actions (stats, docs write,
     // segment build, merge read-back); persist the narrow relations once
-    // instead of recomputing synthesis+tokenize per action.
+    // instead of recomputing synthesis+tokenize per action. tf comes from
+    // the shuffle-free map-side tokenizer (see Tokenizer.termFreqsWithDl).
     val c = Corpus.withDocId(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = Tokenizer.termFreqs(c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = Tokenizer.docLens(tf)
+    val tf = Tokenizer.termFreqsWithDl(c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.select(col("doc_id"), col("dl")).distinct()
 
     // Corpus stats: one tiny row to the driver; avgdl parameterizes the
     // posting Aggregators, so this pass runs first (like the reference
     // persisting nodes before edges, pkg/crawl/crawl.go:148-166).
-    val statsRow = dl.agg(
+    val statsRow = phase("stats")(dl.agg(
       count(lit(1)).as("n"),
       avg(col("dl").cast("double")).as("avgdl"),
-      sum("dl").as("total")).head()
+      sum("dl").as("total")).head())
     val stats = IndexStats(FormatVersion, statsRow.getLong(0), statsRow.getDouble(1), statsRow.getLong(2), numSalts, numBuckets)
 
     // Docs sidecar: natural keys, doc length, and the sha256 per-row
     // invariant captured at index time (BASELINE.json input_hint).
-    if (!Files.exists(Paths.get(s"${paths.docsDir}/_SUCCESS"))) {
-      c.join(dl, "doc_id")
+    // LEFT join: zero-token docs still get a docId + lineage row with dl=0
+    // but contribute no postings — the analog of the reference persisting
+    // 404 nodes without descending them (pkg/crawl/crawl.go:109-118, P7).
+    if (!Files.exists(Paths.get(s"${paths.docsDir}/_SUCCESS"))) phase("docs-sidecar") {
+      c.join(dl, Seq("doc_id"), "left")
         .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
-          col("dl"), sha2(col("content"), 256).as("content_sha"))
+          coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"))
         .write.mode("overwrite").parquet(paths.docsDir)
     }
 
@@ -154,12 +164,10 @@ object IndexBuilder {
       // wipe partial (manifest-less) salt dirs so the rerun is idempotent
       missing.foreach { s => deleteRecursively(Paths.get(s"${paths.segmentsDir}/salt=$s")) }
 
-      val tfd = tf.join(dl, "doc_id")
+      val tfd = tf
         .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(numSalts)).cast("int"))
         .filter(col("salt").isin(missing: _*))
 
-      val agg = udaf(new PostingAggregator(stats.avgdl),
-        Encoders.rowFor(StructType_tfd))
       val t0 = System.nanoTime()
       // groupBy shuffles on (salt, term) with spark.sql.shuffle.partitions
       // tasks — hot terms are already spread across salts, and every core
@@ -171,10 +179,10 @@ object IndexBuilder {
       // memory == total postings), so raise the threshold for this job.
       val prevFallback = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      try {
+      try phase("segments") {
         tfd
           .groupBy("salt", "term")
-          .agg(agg(col("doc_id"), col("tf"), col("dl")).as("p"))
+          .agg(PostingAggExprs.buildPostings(stats.avgdl, col("doc_id"), col("tf"), col("dl")).as("p"))
           .select(col("salt"), col("term"),
             pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
             col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
@@ -192,11 +200,11 @@ object IndexBuilder {
       val wallMs = (System.nanoTime() - t0) / 1000000
 
       // Per-salt manifests from read-back (validates what actually landed).
-      val perSalt = spark.read.parquet(paths.segmentsDir)
+      val perSalt = phase("manifests")(spark.read.parquet(paths.segmentsDir)
         .filter(col("salt").isin(missing: _*))
         .groupBy("salt")
         .agg(count(lit(1)).as("terms"), sum("sum_tf").as("tokens"), sum("df").as("postings"))
-        .collect()
+        .collect())
       perSalt.foreach { r =>
         val salt = r.getAs[Int]("salt")
         writeJson(s"${paths.manifestsDir}/salt-$salt.json", Seq(
@@ -224,14 +232,12 @@ object IndexBuilder {
     if (missing.nonEmpty) deleteRecursively(Paths.get(paths.indexDir))
     if (!Files.exists(Paths.get(s"${paths.indexDir}/_SUCCESS"))) {
       val segs = spark.read.parquet(paths.segmentsDir)
-      val mergeAgg = udaf(new MergePostingsAggregator(stats.avgdl),
-        Encoders.rowFor(StructType_seg))
       val prevFallback = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      try {
+      try phase("merge") {
         segs
           .groupBy("term")
-          .agg(mergeAgg(col("postings"), col("dls")).as("p"))
+          .agg(PostingAggExprs.mergePostings(stats.avgdl, col("postings"), col("dls")).as("p"))
           .select(col("term"),
             pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
             col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
@@ -256,20 +262,6 @@ object IndexBuilder {
     stats
   }
 
-  // input struct encoders for the two udafs
-  private val StructType_tfd = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType)))
-
-  private val StructType_seg = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("postings", org.apache.spark.sql.types.BinaryType),
-    org.apache.spark.sql.types.StructField("dls", org.apache.spark.sql.types.BinaryType)))
-
-  private object Encoders {
-    def rowFor(st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(st)
-  }
 
   /** Strict open — the analog of the reference's completeness validation
     * (`FindNode` rejecting too-shallow results with "Depth does not match

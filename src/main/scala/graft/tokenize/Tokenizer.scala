@@ -29,7 +29,9 @@ object Tokenizer {
     filter(split(lower(content), SplitRegex), t => t =!= "")
 
   /** Explode a corpus (must carry `doc_id`, `content`) to term frequencies:
-    * `(doc_id, term, tf)` — operator E1+A1 of SURVEY.md §2.
+    * `(doc_id, term, tf)` — operator E1+A1 of SURVEY.md §2. Pure built-ins;
+    * this is the oracle-shaped formulation (used by the naive plan and the
+    * tokenize_tf verification query).
     */
   def termFreqs(corpusWithId: DataFrame): DataFrame =
     corpusWithId
@@ -40,4 +42,40 @@ object Tokenizer {
   /** Document lengths `(doc_id, dl)` = Σ tf — input to BM25 normalization. */
   def docLens(termFreqs: DataFrame): DataFrame =
     termFreqs.groupBy("doc_id").agg(sum("tf").as("dl"))
+
+  /** Shuffle-free tf: `(doc_id, term, tf, dl)` computed entirely map-side.
+    * Per-document aggregation is embarrassingly local (every occurrence of
+    * a doc's tokens lives in its row), so the explode → groupBy(doc_id,
+    * term) formulation above shuffles 10-100× more rows than it needs to —
+    * at sf0.1×4 that is a 200 M-row exchange for a 50 M-row result. The
+    * engine build path uses this; [[TokenizerSpec]] pins equality of the
+    * two formulations, and the same JVM regex semantics apply (Spark's
+    * `split` is java.util.regex, as is `Pattern.split` here; trailing empty
+    * strings are filtered on both paths).
+    */
+  def termFreqsWithDl(corpusWithId: DataFrame): DataFrame = {
+    val spark = corpusWithId.sparkSession
+    import spark.implicits._
+    val re = java.util.regex.Pattern.compile(SplitRegex)
+    corpusWithId
+      .select(col("doc_id"), col("content"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, content) =>
+          val counts = new java.util.HashMap[String, Int]()
+          var dl = 0L
+          val toks = re.split(content.toLowerCase, -1)
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t.nonEmpty) { counts.merge(t, 1, (a, b) => a + b); dl += 1 }
+            i += 1
+          }
+          val d = dl
+          scala.jdk.CollectionConverters.IteratorHasAsScala(counts.entrySet().iterator()).asScala
+            .map(e => (docId, e.getKey, e.getValue.toLong, d))
+        }
+      }
+      .toDF("doc_id", "term", "tf", "dl")
+  }
 }

@@ -43,3 +43,24 @@ class TokenizerSpec extends AnyFunSuite {
     assert(BM25.quantize(0.0000006) == 0.000001)
   }
 }
+
+/** The shuffle-free map-side tokenizer must equal the built-in
+  * explode+groupBy formulation exactly (same regex engine, same filter).
+  */
+class TokenizerParitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("termFreqsWithDl == termFreqs ⋈ docLens on sf0.001") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val c = graft.corpus.Corpus.withDocId(graft.corpus.Corpus.corpus(spark, "/root/testdata/sf0.001"))
+      val viaBuiltins = graft.tokenize.Tokenizer.termFreqs(c)
+        .join(graft.tokenize.Tokenizer.docLens(graft.tokenize.Tokenizer.termFreqs(c)), "doc_id")
+        .select("doc_id", "term", "tf", "dl")
+      val viaLocal = graft.tokenize.Tokenizer.termFreqsWithDl(c)
+        .select("doc_id", "term", "tf", "dl")
+      assert(viaLocal.exceptAll(viaBuiltins).isEmpty && viaBuiltins.exceptAll(viaLocal).isEmpty)
+    } finally spark.stop()
+  }
+}
