@@ -32,11 +32,9 @@ object IndexSearch {
     val stats = reader.stats
 
     val terms = queries.select("term").distinct().as[String].collect().toSeq
-    // bucket(term) must equal the build-side pmod(xxhash64(term), B): compute
-    // it with the same Catalyst expression on a tiny local Dataset.
-    val buckets = terms.toDS()
-      .select(pmod(xxhash64(col("value")), lit(stats.numBuckets)).cast("int"))
-      .as[Int].collect().distinct.toSeq
+    // bucket(term) must equal the build-side pmod(xxhash64(term), B):
+    // TermHash evaluates Spark's own XxHash64Function driver-side (no job).
+    val buckets = terms.map(graft.index.TermHash.bucket(_, stats.numBuckets)).distinct
 
     val idx = reader.index
       .filter(col("bucket").isin(buckets: _*))

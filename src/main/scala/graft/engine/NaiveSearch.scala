@@ -4,7 +4,6 @@ import graft.corpus.Corpus
 import graft.score.BM25
 import graft.tokenize.Tokenizer
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The naive full-scoring BM25 top-k plan — SURVEY.md §7 Step 1.
@@ -59,15 +58,23 @@ object NaiveSearch {
 
   /** Shared ranking tail: input must have (query_id, k, repo, path, commit,
     * score); emits the pinned oracle output shape.
+    *
+    * Scale shape: a k-bounded [[TopKAggExprs]] heap aggregate with map-side
+    * partial aggregation — NOT a `Window.partitionBy(query_id)`, which would
+    * funnel every candidate of a hot-term query through one task. The
+    * exchange moves ≤ tasks×k pre-reduced rows; rank = position in the
+    * aggregate's pinned (score_r desc, repo/path/commit asc) order, which is
+    * exactly the oracle's `row_number()` order.
     */
   def rankByKeys(scoredWithKeys: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(BM25.quantize(col("score")).desc, col("repo").asc, col("path").asc, col("commit").asc)
-    scoredWithKeys
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= col("k"))
-      .select(col("query_id"), col("rank"), col("repo"), col("path"), col("commit"),
-        BM25.quantize(col("score")).as("score_r"))
+    val hits = scoredWithKeys
+      .groupBy("query_id")
+      .agg(TopKAggExprs.topK(col("k"), BM25.quantize(col("score")),
+        struct(col("repo"), col("path"), col("commit"))).as("hits"))
+    hits
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.repo"), col("col.path"), col("col.commit"), col("col.score_r"))
       .orderBy("query_id", "rank")
   }
 }

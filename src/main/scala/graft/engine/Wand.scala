@@ -39,49 +39,55 @@ object Wand {
     topKAt(spark, paths, querySet)
   }
 
-  /** Same, against an already-built (complete) index. */
+  /** Same, against an already-built (complete) index.
+    *
+    * Query-time parallelism is `numSalts × |queries|` — each (salt shard,
+    * query) pair is one independent WAND run (round 1 keyed by salt alone,
+    * welding query parallelism to a build-time constant). Decoded postings
+    * are memoized per (index, salt, term) in the executor-local
+    * [[PostingCache]], so a steady-state query stream decodes each hot
+    * sub-list once, not per query. Bucket lists and per-term df come from
+    * driver-side hashing ([[graft.index.TermHash]]) and the reader's df
+    * cache — zero Spark jobs of per-query planning overhead after warmup.
+    */
   def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, querySet: Seq[Query]): DataFrame = {
     import spark.implicits._
     val reader = IndexReader.get(spark, paths)
     val stats = reader.stats
 
     val allTerms = querySet.flatMap(_.terms).distinct
-    // global df per term (idf is a per-term constant over the WHOLE corpus,
-    // not per shard) — tiny: read the pruned global index metadata.
-    val buckets = allTerms.toDS()
-      .select(pmod(xxhash64(col("value")), lit(stats.numBuckets)).cast("int"))
-      .as[Int].collect().distinct.toSeq
-    val dfMap: Map[String, Long] = reader.index
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(allTerms: _*))
-      .select("term", "df").as[(String, Long)].collect().toMap
+    val buckets = allTerms.map(graft.index.TermHash.bucket(_, stats.numBuckets)).distinct
+    val dfMap: Map[String, Long] = reader.dfOf(allTerms)
 
     val n = stats.nDocs
     val avgdl = stats.avgdl
-    val queries = querySet // serialized into the closure (small)
+    val qByIdLocal = querySet.map(q => q.queryId -> q).toMap
+    val cacheTag = reader.cacheTag
 
     // segments are partitioned by (salt, bucket): the bucket IN filter
     // prunes to |query-term buckets| directories per salt, and the term IN
-    // predicate pushes into the parquet scan
+    // predicate pushes into the parquet scan. The broadcast query-term join
+    // fans each segment row out to the queries that use its term; grouping
+    // by (salt, query) then gives every WAND run its own task slot.
+    val qTerms = querySet.flatMap(q => q.terms.distinct.map(t => (q.queryId, t)))
+      .toDF("query_id", "term")
     val segs = reader.segments
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(allTerms: _*))
-      .select("salt", "term", "postings", "dls", "block_max")
-      .as[(Int, String, Array[Byte], Array[Byte], Seq[Double])]
+      .join(broadcast(qTerms), "term")
+      .select("salt", "query_id", "term", "postings", "dls", "block_max")
+      .as[(Int, String, String, Array[Byte], Array[Byte], Seq[Double])]
 
     val candidates = segs
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        val byTerm = rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
-        queries.iterator.flatMap { q =>
-          val lists = q.terms.distinct.flatMap { t =>
-            byTerm.get(t).map { case (p, d, bm) =>
-              val (docIds, tfs, dls) = Postings.decode(p, d)
-              TermList(t, Postings.idf(dfMap(t), n), docIds, tfs, dls, bm.toArray)
-            }
-          }
-          wandShardTopK(lists, q.k, avgdl).map { case (docId, score) => (q.queryId, q.k, docId, score) }
-        }
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, String), rows: Iterator[(Int, String, String, Array[Byte], Array[Byte], Seq[Double])]) =>
+        val (salt, queryId) = key
+        val q = qByIdLocal(queryId)
+        val lists = rows.map { case (_, _, t, p, d, bm) =>
+          val (docIds, tfs, dls) = PostingCache.decode(cacheTag, salt, t, p, d)
+          TermList(t, Postings.idf(dfMap(t), n), docIds, tfs, dls, bm.toArray)
+        }.toSeq
+        wandShardTopK(lists, q.k, avgdl).map { case (docId, score) => (queryId, q.k, docId, score) }
       }
       .toDF("query_id", "k", "doc_id", "score")
 

@@ -72,8 +72,16 @@ object IndexBuilder {
   private def readJsonNumber(path: Path, key: String): Option[Double] = {
     if (!Files.exists(path)) return None
     val txt = Files.readString(path)
-    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(-?[0-9.eE+]+)").r
+    // full JSON-number grammar incl. negative exponents ("4.2E-5")
+    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+\\-]?[0-9]+)?)").r
     m.findFirstMatchIn(txt).map(_.group(1).toDouble)
+  }
+
+  private[index] def readJsonString(path: Path, key: String): Option[String] = {
+    if (!Files.exists(path)) return None
+    val txt = Files.readString(path)
+    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"([^\"]*)\"").r
+    m.findFirstMatchIn(txt).map(_.group(1))
   }
 
   def readStats(paths: IndexPaths): Option[IndexStats] = {
@@ -91,11 +99,13 @@ object IndexBuilder {
   def completedSalts(paths: IndexPaths): Set[Int] = {
     val dir = Paths.get(paths.manifestsDir)
     if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("salt-") && s.endsWith(".json") =>
-        s.stripPrefix("salt-").stripSuffix(".json").toInt }
-      .toSet
+    else scala.util.Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("salt-") && s.endsWith(".json") =>
+          s.stripPrefix("salt-").stripSuffix(".json").toInt }
+        .toSet
+    }
   }
 
   /** A build is complete iff stats exist at the current format version and
@@ -200,10 +210,15 @@ object IndexBuilder {
       val wallMs = (System.nanoTime() - t0) / 1000000
 
       // Per-salt manifests from read-back (validates what actually landed).
+      // per-salt lineage + skew stats: max_term_df surfaces hot-term skew per
+      // shard (the reference's @count index analog, dgraph.go:45) — at 100 TB
+      // the ratio max_term_df/posting_count is the stop-list / extra-salting
+      // trigger.
       val perSalt = phase("manifests")(spark.read.parquet(paths.segmentsDir)
         .filter(col("salt").isin(missing: _*))
         .groupBy("salt")
-        .agg(count(lit(1)).as("terms"), sum("sum_tf").as("tokens"), sum("df").as("postings"))
+        .agg(count(lit(1)).as("terms"), sum("sum_tf").as("tokens"), sum("df").as("postings"),
+          max("df").as("max_term_df"))
         .collect())
       perSalt.foreach { r =>
         val salt = r.getAs[Int]("salt")
@@ -213,6 +228,7 @@ object IndexBuilder {
           "term_count" -> r.getAs[Long]("terms"),
           "token_count" -> r.getAs[Long]("tokens"),
           "posting_count" -> r.getAs[Long]("postings"),
+          "max_term_df" -> r.getAs[Long]("max_term_df"),
           "build_args" -> buildArgs,
           "wall_clock_ms" -> wallMs))
       }

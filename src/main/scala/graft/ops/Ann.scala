@@ -52,20 +52,34 @@ object Ann {
   /** Brute-force cosine top-k per query vector — the ANN oracle.
     * Output (query_id, rank, vec_id, cos_r), rank by quantized cos desc
     * then vec_id asc; self-matches excluded.
+    *
+    * Ranking tail is the k-bounded heap aggregate ([[graft.engine.TopKAggExprs]]),
+    * not a `Window.partitionBy(query_id)`: with few queries a window funnels
+    * the whole scored corpus through ≤|queries| tasks; the aggregate reduces
+    * map-side to ≤k rows per task before the shuffle.
     */
   def bruteForceTopK(emb: DataFrame): DataFrame = {
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val cos = cosine(col("qe"), col("embedding"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(BM25.quantize(cos).desc, col("vec_id").asc)
-    emb.crossJoin(broadcast(q))
+    val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"), BM25.quantize(cos).as("cos_r"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id"), BM25.quantize(cos).as("cos_r"))
+    rankTopK(scored)
   }
+
+  /** Shared ANN ranking tail: (query_id, vec_id, cos_r) → bounded top-k
+    * rows (query_id, rank, vec_id, cos_r) in the pinned oracle order.
+    */
+  private def rankTopK(scored: DataFrame): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.engine.TopKAggExprs.topK(lit(TopK), col("cos_r"),
+        struct(col("vec_id"))).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id"), col("col.score_r").as("cos_r"))
+      .orderBy("query_id", "rank")
 
   /** IVF assignment: every vector → its nearest centroid (argmax raw
     * cosine, ties to the smaller centroid id). Centroids are the
@@ -99,13 +113,9 @@ object Ann {
       .filter(col("rn") <= NProbe)
       .select(col("query_id"), col("qe"), col("centroid_id"))
     val cos = cosine(col("qe"), col("embedding"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(BM25.quantize(cos).desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), "centroid_id")
+    val scored = assigned.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"), BM25.quantize(cos).as("cos_r"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id"), BM25.quantize(cos).as("cos_r"))
+    rankTopK(scored)
   }
 }
