@@ -97,6 +97,14 @@ object SparkEntry {
     "bm25_index_topk" -> ((s, dir) =>
       graft.engine.IndexSearch.topK(s, dir, QuerySet.df(s))),
 
+    // §2.7 conjunctive (AND) queries: posting-list intersection via the
+    // docId equi-join + count(*)==n_terms gate — the reference
+    // CheckPredicate analog (dgraph.go:130-145).
+    "bm25_and_topk" -> ((s, dir) => {
+      val (paths, _) = graft.index.IndexBuilder.ensure(s, dir)
+      graft.engine.IndexSearch.topKAndAt(s, paths, QuerySet.dfAnd(s))
+    }),
+
     // T5: sharded block-max WAND. Same oracle as the naive plan.
     "bm25_wand_topk" -> ((s, dir) =>
       graft.engine.Wand.topK(s, dir, QuerySet.all)),
@@ -169,17 +177,51 @@ object SparkEntry {
     "streaming_window_events" -> ((s, dir) =>
       graft.streaming.StreamingOps.windowedEventCounts(s, dir)),
 
-    // E2 result assembly: nested per-query hit lists (the reference returns
-    // a recursive JSON tree, page.go:136-164; the engine's analog is an
-    // ordered array<struct> per query). Not SQL-expressible for the hash
-    // compare → rows-only check (no oracleSql entry).
+    // E2/S6 result assembly: nested per-query hit lists (the reference
+    // returns a recursive JSON tree, page.go:136-164). The nested
+    // array<struct> is serialized with to_json so the driver's hash compare
+    // (pandas) gets a flat string column; score is carried as the integer
+    // micrograde (floor(score_r·1e6 + 0.5) — score_r is already on that
+    // grid) so JSON float formatting can't drift between engines.
     "bm25_nested_results" -> ((s, dir) => {
       val flat = graft.engine.IndexSearch.topK(s, dir, QuerySet.df(s))
-      flat.groupBy("query_id")
-        .agg(sort_array(collect_list(struct(
-          col("rank"), col("repo"), col("path"), col("commit"), col("score_r")))).as("hits"))
+      flat
+        .withColumn("score_micro", floor(col("score_r") * 1e6 + 0.5).cast("long"))
+        .groupBy("query_id")
+        .agg(
+          count(lit(1)).as("n_hits"),
+          to_json(sort_array(collect_list(struct(
+            col("rank"), col("repo"), col("path"), col("commit"), col("score_micro"))))).as("hits_json"))
         .orderBy("query_id")
     }),
+
+    // P2 lang/file filter: predicate on the corpus lang column (the
+    // reference's URL/host gate analog, pkg/crawl/crawl.go:120-127).
+    "corpus_lang_filter" -> ((s, dir) =>
+      Corpus.corpus(s, dir)
+        .filter(col("lang").isin("go", "scala"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("content"))).as("total_chars"))
+        .orderBy("lang")),
+
+    // P3 content-type gate: only token-bearing, bounded-size docs pass
+    // (the reference descends only content-type text/html,
+    // pkg/crawl/crawl.go:109-118); binary/empty payloads are gated out
+    // before tokenization.
+    "corpus_content_gate" -> ((s, dir) => {
+      val nTok = size(Tokenizer.tokensCol(col("content")))
+      Corpus.corpus(s, dir)
+        .select(col("lang"),
+          (nTok >= 5 && length(col("content")) <= 100000).as("pass"))
+        .groupBy("lang", "pass")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pass")
+    }),
+
+    // Scale path for embedding near-dup: hyperplane-LSH blocked candidates
+    // + exact-cosine verify (the all-pairs embed_cosine_pairs stays as the
+    // tiny-sf oracle cross-check only).
+    "embed_cosine_lsh" -> ((s, dir) => graft.ops.Ann.cosineLshPairs(graft.ops.Ann.embeddings(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -224,7 +266,36 @@ object SparkEntry {
 
     "bm25_index_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
 
+    "bm25_and_topk" -> OracleSql.bm25TopKAnd(QuerySet.duckValuesAnd),
+
     "bm25_wand_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
+
+    // nested result assembly: DuckDB 1.0 to_json(list(struct_pack ORDER BY
+    // rank)) emits the byte-identical compact JSON as Spark's
+    // to_json(sort_array(collect_list(struct))) — verified format parity.
+    "bm25_nested_results" ->
+      s"""${OracleSql.bm25TopK(QuerySet.duckValues)
+            .replace("SELECT query_id, rank, repo, path, commit, score_r\nFROM ranked WHERE rank <= k\nORDER BY query_id, rank",
+              "SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,\n" +
+              "  CAST(to_json(list(struct_pack(rank := rank, repo := repo, path := path, commit := commit,\n" +
+              "    score_micro := CAST(floor(score_r * 1000000.0 + 0.5) AS BIGINT)) ORDER BY rank)) AS VARCHAR) AS hits_json\n" +
+              "FROM ranked WHERE rank <= k GROUP BY query_id ORDER BY query_id")}""",
+
+    "corpus_lang_filter" ->
+      s"""WITH ${OracleSql.corpusCte}
+         #SELECT lang, count(*) AS n_docs, CAST(sum(length(content)) AS BIGINT) AS total_chars
+         #FROM corpus WHERE lang IN ('go', 'scala')
+         #GROUP BY lang ORDER BY lang""".stripMargin('#'),
+
+    "corpus_content_gate" ->
+      s"""WITH ${OracleSql.corpusCte}
+         #SELECT lang,
+         #       (len(list_filter(string_split_regex(lower(content), '${OracleSql.splitRegex}'), x -> x <> '')) >= 5
+         #        AND length(content) <= 100000) AS pass,
+         #       count(*) AS n
+         #FROM corpus GROUP BY lang, pass ORDER BY lang, pass""".stripMargin('#'),
+
+    "embed_cosine_lsh" -> graft.ops.OpsOracleSql.cosineLsh,
 
     // DuckDB recomputes hit counts per query from the same ranked CTE; the
     // Spark side's n_sha_match is a REAL recomputation (stored-at-index-time

@@ -108,4 +108,45 @@ object OracleSql {
        #FROM ranked WHERE rank <= k
        #ORDER BY query_id, rank""".stripMargin('#')
   }
+
+  /** Conjunctive (AND) BM25 top-k — same scoring, but a doc qualifies only
+    * if it matched EVERY query term (`HAVING count(*) = n_terms`; terms are
+    * distinct per query and tf has one row per (term, doc), so count(*) is
+    * the matched-term count). §2.7 intersection / reference `CheckPredicate`.
+    * `queryValuesSql` rows are (query_id, term, k, n_terms).
+    */
+  def bm25TopKAnd(queryValuesSql: String): String = {
+    val k1 = graft.score.BM25.K1
+    val k1p1 = graft.score.BM25.K1Plus1
+    val oneMinusB = graft.score.BM25.OneMinusB
+    val b = graft.score.BM25.B
+    s"""WITH $corpusCte,
+       #$tokenCtes,
+       #queries(query_id, term, k, n_terms) AS (VALUES $queryValuesSql),
+       #scored AS MATERIALIZED (
+       #  SELECT q.query_id, q.k, t.repo, t.path, t.commit,
+       #    sum(
+       #      ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+       #      * (CAST(t.tf AS DOUBLE) * $k1p1)
+       #        / (CAST(t.tf AS DOUBLE) + $k1 * ($oneMinusB + ($b * CAST(l.dl AS DOUBLE)) / s.avgdl))
+       #    ) AS score
+       #  FROM queries q
+       #  JOIN tf t ON t.term = q.term
+       #  JOIN dfreq d ON d.term = q.term
+       #  JOIN doclen l ON l.repo = t.repo AND l.path = t.path AND l.commit = t.commit
+       #  CROSS JOIN stats s
+       #  GROUP BY q.query_id, q.k, q.n_terms, t.repo, t.path, t.commit
+       #  HAVING count(*) = q.n_terms
+       #),
+       #ranked AS MATERIALIZED (
+       #  SELECT query_id, k, repo, path, commit, ${quant("score")} AS score_r,
+       #         CAST(row_number() OVER (
+       #           PARTITION BY query_id
+       #           ORDER BY ${quant("score")} DESC, repo ASC, path ASC, commit ASC) AS INTEGER) AS rank
+       #  FROM scored
+       #)
+       #SELECT query_id, rank, repo, path, commit, score_r
+       #FROM ranked WHERE rank <= k
+       #ORDER BY query_id, rank""".stripMargin('#')
+  }
 }

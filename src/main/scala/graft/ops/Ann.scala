@@ -22,6 +22,19 @@ object Ann {
   val NumCentroids = 8  // IVF: centroids are the vectors with vec_id < 8
   val NProbe = 2
   val TopK = 10
+  val LshBits = 16      // random-hyperplane signature bits
+  val LshBandBits = 4   // → 4 bands of 4 bits
+
+  /** Deterministic ±1 random-hyperplane components — a pure-integer LCG on
+    * the flat index (j·Dim + i), reproducible verbatim in DuckDB SQL (no
+    * engine RNG, no float seed drift). Charikar random-hyperplane LSH:
+    * P(bit match) = 1 − θ/π.
+    */
+  def hyperplane(j: Int): IndexedSeq[Double] = (0 until Dim).map { i =>
+    val idx = j.toLong * Dim + i + 1
+    val r = (1103515245L * idx + 12345L) % 2147483648L
+    if (((r >> 16) & 1L) == 1L) 1.0 else -1.0
+  }
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -80,6 +93,41 @@ object Ann {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.vec_id"), col("col.score_r").as("cos_r"))
       .orderBy("query_id", "rank")
+
+  /** Near-dup cosine pairs via random-hyperplane LSH blocking — the scale
+    * path that replaces the all-pairs join of [[cosinePairs]] (kept only as
+    * the tiny-sf oracle cross-check): 16 sign bits per vector, banded into
+    * 4×4-bit bucket keys; candidates are pairs sharing a band bucket
+    * (equi-join — never a cross join), then verified with the exact cosine.
+    * Probabilistic recall by design; the oracle runs the identical
+    * hyperplanes + banding, so outputs match deterministically.
+    */
+  def cosineLshPairs(emb: DataFrame): DataFrame = {
+    val nBands = LshBits / LshBandBits
+    val bits = (0 until LshBits).map { j =>
+      val h = array(hyperplane(j).map(lit): _*)
+      dot(h, col("embedding")) >= 0.0
+    }
+    val bandKeys = (0 until nBands).map { b =>
+      (0 until LshBandBits).map { r =>
+        when(bits(b * LshBandBits + r), lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val banded = emb.select(col("vec_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val x = banded.as("x"); val y = banded.as("y")
+    val candidates = x.join(y,
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val cos = cosine(col("ea"), col("eb"))
+    candidates.join(ea, "ia").join(eb, "ib")
+      .filter(cos >= Dedup.CosineThreshold)
+      .select(col("ia"), col("ib"), BM25.quantize(cos).as("cos_r"))
+      .orderBy("ia", "ib")
+  }
 
   /** IVF assignment: every vector → its nearest centroid (argmax raw
     * cosine, ties to the smaller centroid id). Centroids are the

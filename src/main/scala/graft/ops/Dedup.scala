@@ -17,6 +17,14 @@ object Dedup {
   val MinhashK = 16            // hash functions
   val MinhashBandRows = 4      // → 4 bands of 4 rows
   val JaccardThreshold = 0.8
+  /** Blocking cap: shingles with df above this are too common to be useful
+    * candidate-generation keys — ONE ubiquitous shingle ("the quick brown")
+    * makes its join group quadratic at corpus scale. Capped shingles still
+    * count toward the EXACT Jaccard of candidate pairs (verification uses
+    * full shingle sets); they just can't be the only link that nominates a
+    * pair. Standard MinHash/LSH practice; the oracle mirrors the same cap.
+    */
+  val MaxShingleDf = 50
   val SimhashBits = 48         // keep sign bit clear of Long
   val SimhashChunks = 4        // 12-bit chunks; hamming ≤ 3 → pigeonhole hit
   val SimhashMaxHamming = 3
@@ -44,25 +52,45 @@ object Dedup {
     docs.select(col("doc_id"), explode(sh).as("shingle"))
   }
 
-  /** Exact n-gram Jaccard pairs ≥ threshold, candidates generated by the
-    * shingle equi-join (a pair is compared only if it shares ≥1 shingle —
-    * no cross join; the join key IS the blocking key).
+  /** Exact Jaccard over FULL shingle sets, restricted to the given
+    * candidate pairs — the shared verification tail of the n-gram and LSH
+    * paths. Cost is O(|candidates| × avg shingles), never a corpus-wide
+    * self-join: the intersection count comes from joining candidates to
+    * each side's shingles on (doc, shingle).
     */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val ex = shingles(docs)
+  private[ops] def jaccardOnCandidates(ex: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = ex.as("a"); val b = ex.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    val a = ex.toDF("ida", "shingle")
+    val b = ex.toDF("idb", "shingle")
+    val inter = candidates.join(a, "ida").join(b, Seq("idb", "shingle"))
+      .groupBy("ida", "idb")
       .agg(count(lit(1)).as("n_common"))
     val jac = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common")).cast("double")
     inter
-      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), "ida")
-      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .join(sizes.toDF("ida", "na"), "ida")
+      .join(sizes.toDF("idb", "nb"), "idb")
       .filter(jac >= JaccardThreshold)
       .select(col("ida"), col("idb"), BM25.quantize(jac).as("jac_r"))
-      .orderBy("ida", "idb")
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold. Candidates are pairs sharing
+    * ≥1 NON-UBIQUITOUS shingle (df ≤ [[MaxShingleDf]] — the blocking key);
+    * verification then computes the exact Jaccard over the candidates'
+    * full shingle sets (hot shingles included).
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val ex = shingles(docs)
+    val rare = ex.join(
+      ex.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= MaxShingleDf).select("shingle"),
+      "shingle")
+    val a = rare.as("a"); val b = rare.as("b")
+    val candidates = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    jaccardOnCandidates(ex, candidates).orderBy("ida", "idb")
   }
 
   /** MinHash signatures: K min-sha256 values per doc (portable "hash
@@ -94,9 +122,9 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()
-    // verify candidates with the exact jaccard join restricted to them
-    ngramJaccardPairs(docs).join(candidates, Seq("ida", "idb"))
-      .select("ida", "idb", "jac_r")
+    // verify ONLY the candidate pairs with the exact full-set Jaccard —
+    // never the corpus-wide shingle self-join LSH exists to avoid
+    jaccardOnCandidates(shingles(docs), candidates)
       .orderBy("ida", "idb")
   }
 

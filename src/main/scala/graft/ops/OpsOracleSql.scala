@@ -83,11 +83,17 @@ object OpsOracleSql {
        #       count(*) OVER (PARTITION BY text_sha) AS group_size
        #FROM s ORDER BY doc_id""".stripMargin('#')
 
-  private val jaccardCtes: String =
+  /** Exact full-set Jaccard restricted to a `cand(ida, idb)` CTE — mirrors
+    * [[Dedup.jaccardOnCandidates]]: verification never re-runs the
+    * corpus-wide shingle self-join.
+    */
+  private val jaccardVerifyCtes: String =
     s"""inter AS MATERIALIZED (
-       #  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_common
-       #  FROM shex a JOIN shex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       #  GROUP BY a.doc_id, b.doc_id
+       #  SELECT c.ida, c.idb, count(*) AS n_common
+       #  FROM cand c
+       #  JOIN shex a ON a.doc_id = c.ida
+       #  JOIN shex b ON b.doc_id = c.idb AND b.shingle = a.shingle
+       #  GROUP BY c.ida, c.idb
        #),
        #sz AS MATERIALIZED (SELECT doc_id, len(shingles) AS n FROM sh),
        #jac AS MATERIALIZED (
@@ -96,8 +102,20 @@ object OpsOracleSql {
        #  FROM inter JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
        #)""".stripMargin('#')
 
+  /** Blocking-capped candidate generation — mirrors [[Dedup.MaxShingleDf]]. */
+  private val rareShingleCandCtes: String =
+    s"""rare AS MATERIALIZED (
+       #  SELECT s.doc_id, s.shingle FROM shex s
+       #  JOIN (SELECT shingle FROM shex GROUP BY shingle HAVING count(*) <= ${Dedup.MaxShingleDf}) r
+       #  USING (shingle)
+       #),
+       #cand AS MATERIALIZED (
+       #  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       #  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       #)""".stripMargin('#')
+
   val ngramJaccard: String =
-    s"""WITH $tokensCte, $shinglesCte, $jaccardCtes
+    s"""WITH $tokensCte, $shinglesCte, $rareShingleCandCtes, $jaccardVerifyCtes
        #SELECT ida, idb, ${q("jacv")} AS jac_r FROM jac
        #WHERE jacv >= ${Dedup.JaccardThreshold}
        #ORDER BY ida, idb""".stripMargin('#')
@@ -124,11 +142,11 @@ object OpsOracleSql {
        #  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
        #  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
        #),
-       #$jaccardCtes
-       #SELECT j.ida, j.idb, ${q("jacv")} AS jac_r
-       #FROM jac j JOIN cand c ON c.ida = j.ida AND c.idb = j.idb
+       #$jaccardVerifyCtes
+       #SELECT ida, idb, ${q("jacv")} AS jac_r
+       #FROM jac
        #WHERE jacv >= ${Dedup.JaccardThreshold}
-       #ORDER BY j.ida, j.idb""".stripMargin('#')
+       #ORDER BY ida, idb""".stripMargin('#')
   }
 
   val simhashPairs: String = {
@@ -182,6 +200,42 @@ object OpsOracleSql {
        #)
        #SELECT ia, ib, ${q("cosv")} AS cos_r FROM p WHERE cosv >= ${Dedup.CosineThreshold}
        #ORDER BY ia, ib""".stripMargin('#')
+
+  /** Mirrors [[Ann.cosineLshPairs]]: identical LCG hyperplanes (literal ±1
+    * lists generated from the same Scala constants), identical banding.
+    */
+  val cosineLsh: String = {
+    val nBands = Ann.LshBits / Ann.LshBandBits
+    def hpList(j: Int): String = Ann.hyperplane(j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val sigBits = (0 until Ann.LshBits).map { j =>
+      s"(list_sum(list_transform(generate_series(1, ${Ann.Dim}), i -> (${hpList(j)})[i] * CAST(embedding[i] AS DOUBLE))) >= 0) AS s$j"
+    }.mkString(",\n#    ")
+    val bandRows = (0 until nBands).map { b =>
+      val key = (0 until Ann.LshBandBits)
+        .map(r => s"CASE WHEN s${b * Ann.LshBandBits + r} THEN ${1 << r} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n#  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       #sig AS MATERIALIZED (
+       #  SELECT vec_id,
+       #    $sigBits
+       #  FROM e
+       #),
+       #bands AS MATERIALIZED (
+       #  $bandRows
+       #),
+       #cand AS MATERIALIZED (
+       #  SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+       #  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+       #),
+       #p AS MATERIALIZED (
+       #  SELECT c.ia, c.ib, ${cosSql("a.embedding", "b.embedding")} AS cosv
+       #  FROM cand c JOIN e a ON a.vec_id = c.ia JOIN e b ON b.vec_id = c.ib
+       #)
+       #SELECT ia, ib, ${q("cosv")} AS cos_r FROM p WHERE cosv >= ${Dedup.CosineThreshold}
+       #ORDER BY ia, ib""".stripMargin('#')
+  }
 
   val bruteTopK: String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),

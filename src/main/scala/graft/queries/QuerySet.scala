@@ -24,6 +24,19 @@ object QuerySet {
     Query("q09", Seq("cust_7"), 10),          // orders-derived term (join materiality)
     Query("q10", Seq("segment", "merger"), 5))
 
+  /** Conjunctive (AND) query set — SURVEY.md §2.7 posting-list
+    * intersection, the engine analog of the reference's edge-existence
+    * probe `CheckPredicate` (`pkg/database/relationship/dgraph.go:130-145`):
+    * a doc qualifies only if it contains EVERY term. Covers hot∧medium,
+    * medium∧medium, hot∧rare, 3-term, and hot∧absent (→ empty).
+    */
+  val conjunctive: Seq[Query] = Seq(
+    Query("qa1", Seq("func", "buffer"), 10),
+    Query("qa2", Seq("parser", "vector"), 10),
+    Query("qa3", Seq("func", "handler_0_1"), 10),
+    Query("qa4", Seq("codec", "scan", "stream"), 15),
+    Query("qa5", Seq("func", "zzznotfound"), 10))
+
   /** Exploded to one row per (query_id, term, k) — the engine's query-side
     * join input (SURVEY.md J5).
     */
@@ -33,7 +46,21 @@ object QuerySet {
       .toDF("query_id", "term", "k")
   }
 
+  /** Conjunctive rows (query_id, term, k, n_terms) — n_terms is the
+    * intersection arity the AND plan matches against.
+    */
+  def dfAnd(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    conjunctive.flatMap(q => q.terms.distinct.map(t => (q.queryId, t, q.k, q.terms.distinct.size)))
+      .toDF("query_id", "term", "k", "n_terms")
+  }
+
   /** Same rows as a DuckDB `VALUES` list for [[graft.corpus.OracleSql]]. */
   def duckValues: String =
     all.flatMap(q => q.terms.map(t => s"('${q.queryId}','$t',${q.k})")).mkString(",")
+
+  /** Conjunctive VALUES list incl. n_terms. */
+  def duckValuesAnd: String =
+    conjunctive.flatMap(q => q.terms.distinct.map(t =>
+      s"('${q.queryId}','$t',${q.k},${q.terms.distinct.size})")).mkString(",")
 }
