@@ -142,8 +142,10 @@ object SparkEntry {
 
     // J1+J2: build on 80% of the corpus, then incrementally add the full
     // corpus — anti-join keeps only the new 20%, sort-merge full_outer join
-    // merges delta postings into the global index. Result must equal the
-    // single-shot full build (oracle = full-corpus tf aggregate).
+    // merges ONLY delta-term postings into a delta layer (untouched base
+    // files are referenced through the snapshot, never rewritten). The
+    // layered read-back must equal the single-shot full build (oracle =
+    // full-corpus tf aggregate).
     "index_incremental" -> ((s, dir) => {
       import s.implicits._
       val name = java.nio.file.Paths.get(dir).getFileName.toString
@@ -158,7 +160,7 @@ object SparkEntry {
       val outPaths = graft.index.IndexPaths(
         s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-out-$name")
       graft.index.Incremental.addBatch(s, basePaths, full, outPaths)
-      s.read.parquet(outPaths.indexDir)
+      graft.index.Incremental.readMergedIndex(s, outPaths.root)
         .select("term", "postings", "dls")
         .as[(String, Array[Byte], Array[Byte])]
         .map { case (term, p, d) =>

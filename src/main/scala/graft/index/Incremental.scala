@@ -2,7 +2,7 @@ package graft.index
 
 import graft.corpus.Corpus
 import graft.tokenize.Tokenizer
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental index maintenance — SURVEY.md §2.4 J1 + J2, the engine
@@ -13,40 +13,70 @@ import org.apache.spark.sql.functions._
   *    the already-indexed docIds: only genuinely new docs produce postings;
   *  - J2 `CheckOrCreatePredicate` (`dgraph.go:148-176`, merge edge into
   *    existing edge list) → a Catalyst-planned **sort-merge full_outer
-  *    join** of the existing global index with the delta postings on
-  *    `term` (`hint("merge")`), each side contributing at most one posting
-  *    list per term, combined row-wise by decode→merge→re-encode.
+  *    join** on `term` (`hint("merge")`) — but ONLY between the delta's
+  *    terms and the base rows for those same terms (left_semi-restricted).
   *
-  * Corpus stats (N, avgdl) change with the delta, so merged posting lists
-  * are re-encoded with the NEW avgdl — block-max bounds stay exact for
-  * WAND (a stale smaller avgdl could understate upper bounds and make WAND
-  * prune wrongly).
+  * Delta layout (LSM-style, the 100 TB shape): untouched base terms are
+  * REFERENCED through the snapshot metadata ([[Snapshots]]), never decoded,
+  * re-encoded, or rewritten — a 0.1% delta costs a delta-sized write, not a
+  * full-index rewrite. The output root holds only the merged delta-term
+  * rows + the fresh docs sidecar + a snapshot whose layer list is
+  * `base layers ++ [delta]`; readers resolve newest-wins per term
+  * ([[readMergedIndex]]) and union per doc ([[readMergedDocs]]).
+  *
+  * Stats semantics: nDocs/avgdl count TOKEN-BEARING docs only, matching
+  * [[IndexBuilder]] (zero-token docs get a lineage row with dl=0 but no
+  * postings — P7). Delta terms are re-encoded with the NEW avgdl, so their
+  * block-max bounds are exact. Untouched base terms keep block-max computed
+  * at the base avgdl; since the BM25 tf-normalization is monotone increasing
+  * in avgdl, a WAND reader over a layered index stays sound by scaling base
+  * bounds with `max(1, avgdl_new / avgdl_base)` — an upper bound because
+  * tfNorm(tf,dl,a')/tfNorm(tf,dl,a) ≤ a'/a for a' > a. At compaction
+  * (periodic full re-encode) the bounds tighten back to exact.
   */
 object Incremental {
 
   /** Add `newCorpus` (which may overlap the already-indexed corpus) into
-    * the index at `basePaths`, writing the merged result to `outPaths`.
-    * Returns the new stats.
+    * the index at `basePaths`, writing ONLY the delta layer to `outPaths`
+    * and publishing a layered snapshot there. Returns the new stats.
+    * Idempotent: replaying the same batch yields an identical delta (J1
+    * filters previously-indexed docIds, including dl=0 lineage rows).
     */
   def addBatch(
       spark: SparkSession,
       basePaths: IndexPaths,
       newCorpus: DataFrame,
       outPaths: IndexPaths): IndexStats = {
-    val baseStats = IndexBuilder.open(basePaths)
+    // a snapshot is only ever published on completion, so its presence is
+    // the completeness watermark for layered roots (delta outputs have no
+    // salt manifests of their own); legacy single-layer roots fall back to
+    // the strict manifest-counting open().
+    val baseLayers = Snapshots.read(basePaths.root).getOrElse {
+      IndexBuilder.open(basePaths)
+      Snapshot(1, Seq(basePaths.indexDir), Seq(basePaths.docsDir), basePaths.statsPath, None)
+    }
+    val baseStats = IndexBuilder.readStatsFile(baseLayers.statsPath).getOrElse(
+      throw new IllegalStateException(s"missing stats at ${baseLayers.statsPath}"))
 
-    val existingIds = spark.read.parquet(basePaths.docsDir).select("doc_id")
+    val baseDocs = baseLayers.docsDirs
+      .map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
+      .reduce(_ unionByName _)
+    val existingIds = baseDocs.select("doc_id")
     val incoming = Corpus.withDocId(newCorpus)
     // J1: insert iff absent — idempotent replays, like the reference's
-    // @if(eq(len(page),0)) upsert guard.
+    // @if(eq(len(page),0)) upsert guard. Includes dl=0 lineage rows, so a
+    // dead doc admitted once is never re-admitted on replay.
     val fresh = incoming.join(existingIds, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val tf = Tokenizer.termFreqsWithDl(fresh)
-    val dl = tf.select(org.apache.spark.sql.functions.col("doc_id"),
-      org.apache.spark.sql.functions.col("dl")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.select(col("doc_id"), col("dl")).distinct()
 
-    // new global stats over old ∪ fresh doc lengths
-    val oldDls = spark.read.parquet(basePaths.docsDir).select(col("doc_id"), col("dl"))
+    // new global stats over old ∪ fresh TOKEN-BEARING doc lengths — the
+    // docs sidecar also holds dl=0 lineage rows, which IndexBuilder's
+    // dl-derived stats never count (DeadDocSpec pins that invariant).
+    val oldDls = baseDocs.select(col("doc_id"), col("dl")).filter(col("dl") > 0)
     val allDls = oldDls.union(dl)
     val sRow = allDls.agg(count(lit(1)), avg(col("dl").cast("double")), sum("dl")).head()
     val newStats = IndexStats(IndexBuilder.FormatVersion, sRow.getLong(0), sRow.getDouble(1),
@@ -57,8 +87,13 @@ object Incremental {
       .groupBy("term")
       .agg(PostingAggExprs.buildPostings(newStats.avgdl, col("doc_id"), col("tf"), col("dl")).as("p"))
       .select(col("term"), col("p.postings").as("postings_b"), col("p.dls").as("dls_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val existing = spark.read.parquet(basePaths.indexDir)
+    // base rows for DELTA TERMS ONLY: newest layer wins per term, then the
+    // left_semi restriction keeps untouched terms out of the merge entirely.
+    val baseCurrent = currentIndex(spark, baseLayers)
+    val existing = baseCurrent
+      .join(delta.select("term"), Seq("term"), "left_semi")
       .select(col("term"), col("postings").as("postings_a"), col("dls").as("dls_a"))
 
     // J2: sort-merge full_outer join on term; each side ≤1 row per term.
@@ -78,15 +113,56 @@ object Incremental {
       .toDF("term", "df", "sum_tf", "postings", "dls", "block_max")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int"))
 
-    out.write.mode("overwrite").partitionBy("bucket").parquet(outPaths.indexDir)
+    out.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outPaths.indexDir)
 
-    // docs sidecar: old ∪ fresh
-    val freshDocs = fresh.join(dl, "doc_id")
+    // docs delta: fresh docs ONLY (base sidecar is referenced, not copied).
+    // LEFT join: zero-token fresh docs keep their dl=0 lineage row — same
+    // invariant as IndexBuilder's sidecar write (P7).
+    fresh.join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
-        col("dl"), sha2(col("content"), 256).as("content_sha"))
-    spark.read.parquet(basePaths.docsDir).union(freshDocs)
+        coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"))
       .write.mode("overwrite").parquet(outPaths.docsDir)
+
+    fresh.unpersist(); tf.unpersist(); delta.unpersist()
+
+    // persist stats + the layered snapshot: the merged table is openable
+    // from outPaths alone.
+    IndexBuilder.writeStatsJson(outPaths.statsPath, newStats, s"incremental over ${basePaths.root}")
+    Snapshots.write(outPaths.root, Snapshot(
+      baseLayers.version + 1,
+      baseLayers.indexDirs :+ outPaths.indexDir,
+      baseLayers.docsDirs :+ outPaths.docsDir,
+      outPaths.statsPath,
+      Some(basePaths.root)))
     newStats
+  }
+
+  /** Newest-wins-per-term view over a snapshot's index layers. Schema is
+    * pinned explicitly: an empty delta layer (replayed batch) has no
+    * parquet files to infer from.
+    */
+  private def currentIndex(spark: SparkSession, snap: Snapshot): DataFrame =
+    snap.indexDirs.map(d => spark.read.schema(IndexBuilder.IndexSchema).parquet(d))
+      .reduceRight((older, newer) => // keep newer's row for shared terms
+        older.join(newer.select("term"), Seq("term"), "left_anti").unionByName(newer))
+
+  /** The logical merged index at `root` (term, df, sum_tf, postings, dls,
+    * block_max, bucket): newest layer wins per term. Untouched base FILES
+    * are read as-is — never rewritten by [[addBatch]].
+    */
+  def readMergedIndex(spark: SparkSession, root: String): DataFrame = {
+    val snap = Snapshots.read(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot metadata at $root"))
+    currentIndex(spark, snap)
+  }
+
+  /** The logical docs sidecar at `root`: union of disjoint per-layer docs. */
+  def readMergedDocs(spark: SparkSession, root: String): DataFrame = {
+    val snap = Snapshots.read(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot metadata at $root"))
+    snap.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
+      .reduce(_ unionByName _)
   }
 
   /** Merge two (possibly null) encoded posting lists into sorted parallel

@@ -46,6 +46,30 @@ object IndexBuilder {
   /** Bump when the on-disk format changes — stale caches self-invalidate. */
   val FormatVersion: Int = 2
 
+  /** On-disk schema of a global-index layer (incl. the bucket partition
+    * column). Layered reads specify it explicitly: an EMPTY delta layer (a
+    * replayed batch) has no files to infer from.
+    */
+  val IndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType),
+      StructField("sum_tf", LongType), StructField("postings", BinaryType),
+      StructField("dls", BinaryType),
+      StructField("block_max", ArrayType(DoubleType, containsNull = false)),
+      StructField("bucket", IntegerType)))
+  }
+
+  /** On-disk schema of a docs-sidecar layer. */
+  val DocsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("repo", StringType),
+      StructField("path", StringType), StructField("commit", StringType),
+      StructField("lang", StringType), StructField("dl", LongType),
+      StructField("content_sha", StringType)))
+  }
+
   val DefaultNumSalts: Int = 16
   val DefaultNumBuckets: Int = 32
 
@@ -84,8 +108,10 @@ object IndexBuilder {
     m.findFirstMatchIn(txt).map(_.group(1))
   }
 
-  def readStats(paths: IndexPaths): Option[IndexStats] = {
-    val p = Paths.get(paths.statsPath)
+  def readStats(paths: IndexPaths): Option[IndexStats] = readStatsFile(paths.statsPath)
+
+  def readStatsFile(statsPath: String): Option[IndexStats] = {
+    val p = Paths.get(statsPath)
     for {
       v <- readJsonNumber(p, "version")
       n <- readJsonNumber(p, "n_docs")
@@ -271,12 +297,20 @@ object IndexBuilder {
     tf.unpersist()
     // a (re)build invalidates any resident reader on this root
     graft.engine.IndexReader.invalidate(paths.root)
-    writeJson(paths.statsPath, Seq(
-      "version" -> FormatVersion, "n_docs" -> stats.nDocs, "avgdl" -> stats.avgdl,
-      "total_tokens" -> stats.totalTokens, "num_salts" -> numSalts, "num_buckets" -> numBuckets,
-      "build_args" -> buildArgs))
+    writeStatsJson(paths.statsPath, stats, buildArgs)
+    // Iceberg-style snapshot: a full build is a single-layer v1 table;
+    // incremental adds append delta layers on top (Snapshots/Incremental).
+    Snapshots.write(paths.root, Snapshot(
+      1, Seq(paths.indexDir), Seq(paths.docsDir), paths.statsPath, None))
     stats
   }
+
+  /** Persist an [[IndexStats]] JSON (shared by full build + incremental). */
+  def writeStatsJson(path: String, stats: IndexStats, buildArgs: String): Unit =
+    writeJson(path, Seq(
+      "version" -> stats.version, "n_docs" -> stats.nDocs, "avgdl" -> stats.avgdl,
+      "total_tokens" -> stats.totalTokens, "num_salts" -> stats.numSalts,
+      "num_buckets" -> stats.numBuckets, "build_args" -> buildArgs))
 
 
   /** Strict open — the analog of the reference's completeness validation

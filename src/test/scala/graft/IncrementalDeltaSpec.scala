@@ -1,0 +1,123 @@
+package graft
+
+import graft.index.{Incremental, IndexBuilder, IndexPaths, Snapshots}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Delta-layer invariants of the incremental add (SURVEY.md §2.4 J1/J2 +
+  * the LSM layout):
+  *
+  *  1. untouched base index FILES are byte-identical after an add — a
+  *     delta never rewrites, decodes, or re-encodes terms it doesn't touch;
+  *  2. the delta layer contains ONLY the delta's terms;
+  *  3. the layered read-back equals a from-scratch full build, including
+  *     stats over token-bearing docs only (dead docs excluded — P7);
+  *  4. replaying the same batch on the merged root is a no-op delta
+  *     (J1 idempotency, incl. zero-token docs' dl=0 lineage rows).
+  */
+class IncrementalDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = "target/graft-index/test-delta"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Bench.deleteTree(root)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def doc(path: String, content: String): (String, String, String, String, String) =
+    ("repo-t", path, "c0ffee000000", "go", content)
+
+  private def corpusOf(rows: Seq[(String, String, String, String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("repo", "path", "commit", "lang", "content")
+  }
+
+  private def fileBytes(dir: String): Map[String, Long] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.size(p)).toMap
+
+  private def fileSha(dir: String): Map[String, String] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        p.toString -> md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+
+  private def decodeCounts(df: DataFrame): Map[String, (Long, Long)] =
+    df.select("term", "postings", "dls").collect().map { r =>
+      val (ids, tfs, _) = graft.index.Postings.decode(
+        r.getAs[Array[Byte]]("postings"), r.getAs[Array[Byte]]("dls"))
+      r.getString(0) -> ((ids.length.toLong, tfs.map(_.toLong).sum))
+    }.toMap
+
+  test("delta add: base files untouched, delta terms only, merged == full rebuild, replay no-op") {
+    val base = Seq(
+      doc("a.go", "alpha beta gamma alpha"),
+      doc("b.go", "beta delta"),
+      doc("dead.go", "!!! ??? ..."))          // zero-token doc: dl=0 lineage row
+    val add = Seq(
+      doc("a.go", "alpha beta gamma alpha"),  // overlap: must be J1-filtered
+      doc("c.go", "beta epsilon"),
+      doc("dead2.go", "###"))                 // fresh zero-token doc
+
+    val basePaths = IndexPaths(s"$root/base")
+    val outPaths = IndexPaths(s"$root/out")
+    IndexBuilder.build(spark, corpusOf(base), basePaths, buildArgs = "delta-spec-base")
+    val baseShas = fileSha(basePaths.indexDir)
+
+    // (base ++ add).distinct: the engine contract is a key-deduped corpus
+    // (Corpus.corpus dedups upstream); the a.go overlap still exercises J1.
+    val stats = Incremental.addBatch(spark, basePaths, corpusOf((base ++ add).distinct), outPaths)
+
+    // 1. untouched base files byte-identical
+    assert(fileSha(basePaths.indexDir) === baseShas)
+
+    // 2. delta layer holds only the fresh docs' terms
+    val deltaTerms = spark.read.parquet(outPaths.indexDir).select("term")
+      .collect().map(_.getString(0)).toSet
+    assert(deltaTerms === Set("beta", "epsilon"))
+
+    // 3a. merged view == from-scratch full build (decode-level equality)
+    val fullPaths = IndexPaths(s"$root/full")
+    IndexBuilder.build(spark, corpusOf((base ++ add).distinct), fullPaths, buildArgs = "delta-spec-full")
+    val merged = decodeCounts(Incremental.readMergedIndex(spark, outPaths.root))
+    val full = decodeCounts(spark.read.parquet(fullPaths.indexDir))
+    assert(merged === full)
+
+    // 3b. stats count token-bearing docs only (2 base + 1 fresh; dead docs excluded)
+    assert(stats.nDocs === 3)
+    val fullStats = IndexBuilder.readStats(fullPaths).get
+    assert(stats.nDocs === fullStats.nDocs && stats.totalTokens === fullStats.totalTokens)
+    assert(math.abs(stats.avgdl - fullStats.avgdl) < 1e-12)
+
+    // 3c. fresh zero-token doc landed in the delta docs sidecar with dl=0
+    val deadRows = spark.read.parquet(outPaths.docsDir)
+      .filter(col("path") === "dead2.go").select("dl").collect()
+    assert(deadRows.map(_.getLong(0)).toSeq === Seq(0L))
+
+    // 4. replay the same batch against the merged root: no fresh docs
+    // (dead2.go's dl=0 lineage row blocks re-admission), empty delta,
+    // unchanged stats.
+    val out2 = IndexPaths(s"$root/out2")
+    val stats2 = Incremental.addBatch(spark, outPaths, corpusOf((base ++ add).distinct), out2)
+    assert(stats2 === stats.copy(version = stats2.version))
+    assert(spark.read.schema(IndexBuilder.IndexSchema).parquet(out2.indexDir).count() === 0)
+    assert(decodeCounts(Incremental.readMergedIndex(spark, out2.root)) === full)
+    assert(Snapshots.read(out2.root).get.version === 3)
+  }
+}
