@@ -70,6 +70,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lineitem scan reads unused columns:\n$p")
   }
 
+  test("ranking tails use the bounded top-k aggregate, never a query-id window") {
+    // a Window.partitionBy(query_id) funnels each query's whole candidate
+    // set through one task; the k-heap aggregate reduces map-side first
+    val (paths, _) = graft.index.IndexBuilder.ensure(spark, sfDir)
+    val plans = Seq(
+      plan(graft.engine.NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark))),
+      plan(graft.engine.IndexSearch.topKAt(spark, paths, QuerySet.df(spark))),
+      plan(graft.engine.Wand.topKAt(spark, paths, QuerySet.all)),
+      plan(graft.ops.Ann.bruteForceTopK(graft.ops.Ann.embeddings(spark, sfDir))))
+    plans.foreach { p =>
+      assert(p.contains("top_k_by_score"), s"ranking tail is not the top-k aggregate:\n$p")
+      assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),
+        s"query ranking still uses a window:\n$p")
+    }
+  }
+
+  test("LSH dedup verify joins candidates to shingles (no corpus-wide self-join recompute)") {
+    // the verify stage must hash-join the candidate pair list against the
+    // per-doc shingle sets; a second full shingle⋈shingle self-join would
+    // show up as a join keyed on shingle alone upstream of the jaccard agg
+    val docs = graft.ops.TextOps.documents(spark, sfDir)
+    val p = plan(graft.ops.Dedup.minhashLshPairs(docs))
+    // a global shingle self-join appears in explain as an equi-join keyed on
+    // shingle ALONE ("keys [1]: [shingle#..]"); the LSH path's joins are the
+    // band-bucket join ([band, key]) and the verify joins ([ida] / [idb,
+    // shingle]) — none single-keyed on shingle
+    assert(!p.contains("keys [1]: [shingle"),
+      s"LSH verify recomputes the global shingle self-join:\n$p")
+  }
+
   test("incremental merge is a SortMergeJoin (full_outer on term)") {
     // build tiny base + delta through the public path and inspect the plan
     // indirectly: hint("merge") + full_outer on 1-row-per-term sides must
