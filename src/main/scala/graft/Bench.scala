@@ -55,7 +55,7 @@ object Bench {
     // warm the index reader once, then per-query latencies
     val (_, tWarm) = time(IndexSearch.topKAt(spark, paths, QuerySet.df(spark)).count())
     System.err.println(s"[bench] index warm set done in $tWarm s")
-    val reps = 2
+    val reps = 3
     val indexLat = for { _ <- 1 to reps; q <- QuerySet.all } yield {
       import spark.implicits._
       val qdf = Seq(q).flatMap(x => x.terms.map(t => (x.queryId, t, x.k)))

@@ -164,32 +164,36 @@ object IndexBuilder {
       a
     }
 
-    // The corpus/tokenize lineage feeds four actions (stats, docs write,
-    // segment build, merge read-back); persist the narrow relations once
-    // instead of recomputing synthesis+tokenize per action. tf comes from
-    // the shuffle-free map-side tokenizer (see Tokenizer.termFreqsWithDl).
+    // The corpus lineage feeds three actions (stats, docs write, segment
+    // build); persist it once instead of recomputing the synthesis per
+    // action. The tf relation is NOT persisted: it has exactly one consumer
+    // (the segments phase) and materializing 10^7+ (doc, term) rows through
+    // the block manager was the build's dominant non-scaling cost — doc
+    // lengths come from a cheap codegen'd size(tokens) projection instead
+    // (TokenizerSpec pins split-semantics equality of the two paths).
     val c = Corpus.withDocId(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = Tokenizer.termFreqsWithDl(c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = tf.select(col("doc_id"), col("dl")).distinct()
+    val dlCol = size(Tokenizer.tokensCol(col("content"))).cast("long")
 
     // Corpus stats: one tiny row to the driver; avgdl parameterizes the
     // posting Aggregators, so this pass runs first (like the reference
-    // persisting nodes before edges, pkg/crawl/crawl.go:148-166).
-    val statsRow = phase("stats")(dl.agg(
-      count(lit(1)).as("n"),
-      avg(col("dl").cast("double")).as("avgdl"),
-      sum("dl").as("total")).head())
+    // persisting nodes before edges, pkg/crawl/crawl.go:148-166). Stats
+    // count TOKEN-BEARING docs only (dl > 0): zero-token docs get lineage
+    // rows but no postings (P7).
+    val statsRow = phase("stats")(
+      c.select(dlCol.as("dl")).filter(col("dl") > 0).agg(
+        count(lit(1)).as("n"),
+        avg(col("dl").cast("double")).as("avgdl"),
+        sum("dl").as("total")).head())
     val stats = IndexStats(FormatVersion, statsRow.getLong(0), statsRow.getDouble(1), statsRow.getLong(2), numSalts, numBuckets)
 
     // Docs sidecar: natural keys, doc length, and the sha256 per-row
     // invariant captured at index time (BASELINE.json input_hint).
-    // LEFT join: zero-token docs still get a docId + lineage row with dl=0
-    // but contribute no postings — the analog of the reference persisting
+    // Zero-token docs still get a docId + lineage row with dl=0 but
+    // contribute no postings — the analog of the reference persisting
     // 404 nodes without descending them (pkg/crawl/crawl.go:109-118, P7).
     if (!Files.exists(Paths.get(s"${paths.docsDir}/_SUCCESS"))) phase("docs-sidecar") {
-      c.join(dl, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
-          coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"))
+      c.select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
+          dlCol.as("dl"), sha2(col("content"), 256).as("content_sha"))
         .write.mode("overwrite").parquet(paths.docsDir)
     }
 
@@ -200,7 +204,9 @@ object IndexBuilder {
       // wipe partial (manifest-less) salt dirs so the rerun is idempotent
       missing.foreach { s => deleteRecursively(Paths.get(s"${paths.segmentsDir}/salt=$s")) }
 
-      val tfd = tf
+      // single consumer: the shuffle-free map-side tokenizer feeds the
+      // salted groupBy directly, no intermediate persist
+      val tfd = Tokenizer.termFreqsWithDl(c)
         .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(numSalts)).cast("int"))
         .filter(col("salt").isin(missing: _*))
 
@@ -294,7 +300,6 @@ object IndexBuilder {
     }
 
     c.unpersist()
-    tf.unpersist()
     // a (re)build invalidates any resident reader on this root
     graft.engine.IndexReader.invalidate(paths.root)
     writeStatsJson(paths.statsPath, stats, buildArgs)
