@@ -75,17 +75,17 @@ object Wand {
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(allTerms: _*))
       .join(broadcast(qTerms), "term")
-      .select("salt", "query_id", "term", "postings", "dls", "block_max")
-      .as[(Int, String, String, Array[Byte], Array[Byte], Seq[Double])]
+      .select("salt", "query_id", "term", "df", "postings", "dls", "block_max", "block_dir")
+      .as[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte])]
 
     val candidates = segs
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, String), rows: Iterator[(Int, String, String, Array[Byte], Array[Byte], Seq[Double])]) =>
+      .flatMapGroups { (key: (Int, String), rows: Iterator[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte])]) =>
         val (salt, queryId) = key
         val q = qByIdLocal(queryId)
-        val lists = rows.map { case (_, _, t, p, d, bm) =>
-          val (docIds, tfs, dls) = PostingCache.decode(cacheTag, salt, t, p, d)
-          TermList(t, Postings.idf(dfMap(t), n), docIds, tfs, dls, bm.toArray)
+        val lists = rows.map { case (_, _, t, segDf, p, d, bm, dir) =>
+          val blocks = PostingCache.open(cacheTag, salt, t, segDf, p, d, dir)
+          TermList(t, Postings.idf(dfMap(t), n), blocks, bm.toArray)
         }.toSeq
         wandShardTopK(lists, q.k, avgdl).map { case (docId, score) => (queryId, q.k, docId, score) }
       }
@@ -95,30 +95,29 @@ object Wand {
     NaiveSearch.rankByKeys(candidates.join(docs, "doc_id"))
   }
 
-  /** One term's decoded sub-postings within a shard. */
+  /** One term's shard sub-postings, accessed block-lazily: the cursor's
+    * seeks route through the block directory ([[Postings.PostingsBlocks]]),
+    * so skipped blocks are never DECOMPRESSED, not just never scored.
+    */
   final case class TermList(
       term: String, idf: Double,
-      docIds: Array[Long], tfs: Array[Int], dls: Array[Long], blockMax: Array[Double]) {
+      blocks: Postings.PostingsBlocks, blockMax: Array[Double]) {
     def maxScore: Double = if (blockMax.isEmpty) 0.0 else idf * blockMax.max
     def blockUpper(pos: Int): Double = idf * blockMax(pos / Postings.BlockSize)
   }
 
-  /** Classic block-max WAND over decoded shard sub-postings.
+  /** Classic block-max WAND over block-lazy shard sub-postings.
     * Returns every doc whose exact score ≥ (k-th best − [[Eps]]).
     */
   def wandShardTopK(lists: Seq[TermList], k: Int, avgdl: Double): Seq[(Long, Double)] = {
     if (lists.isEmpty || k <= 0) return Nil
     final class Cursor(val tl: TermList) { var pos: Int = 0
-      def doc: Long = tl.docIds(pos)
-      def done: Boolean = pos >= tl.docIds.length
-      /** galloping seek to first posting with docId >= target */
-      def seek(target: Long): Unit = {
-        var lo = pos
-        var hi = tl.docIds.length
-        while (lo < hi) { val mid = (lo + hi) >>> 1
-          if (tl.docIds(mid) < target) lo = mid + 1 else hi = mid }
-        pos = lo
-      }
+      def doc: Long = tl.blocks.id(pos)
+      def done: Boolean = pos >= tl.blocks.count
+      /** seek to first posting with docId >= target: block-directory search
+        * first (no decode), then one in-block binary search
+        */
+      def seek(target: Long): Unit = pos = tl.blocks.seek(pos, target)
     }
     val cursors = lists.map(new Cursor(_)).toArray
     val heap = mutable.PriorityQueue.empty[Double](Ordering[Double].reverse) // min-heap of top scores
@@ -155,7 +154,7 @@ object Wand {
             if (!c.done) {
               if (c.doc < pivotDoc) c.seek(pivotDoc)
               if (!c.done && c.doc == pivotDoc)
-                score += c.tl.idf * Postings.tfNorm(c.tl.tfs(c.pos), c.tl.dls(c.pos), avgdl)
+                score += c.tl.idf * Postings.tfNorm(c.tl.blocks.tf(c.pos), c.tl.blocks.dl(c.pos), avgdl)
             }
           }
           if (score >= threshold || heap.size < k) {
@@ -163,9 +162,38 @@ object Wand {
             heap.enqueue(score)
             if (heap.size > k) heap.dequeue()
           }
+          // advance every cursor sitting on pivotDoc
+          sorted.foreach { c => if (!c.done && c.doc == pivotDoc) c.pos += 1 }
+        } else {
+          // BMW block skip (Ding & Suel): the per-block bound over the
+          // pivot set stays valid until the earliest of (a) some pivot-set
+          // cursor crossing its block boundary, (b) the first cursor
+          // beyond the set entering the window — so every doc in
+          // [pivotDoc, d) is bounded < threshold and the whole window is
+          // skipped WITHOUT decompressing its blocks (seek's block
+          // directory + first-id fast path).
+          var d = Long.MaxValue
+          var j = 0
+          var beyond = -1
+          while (j < sorted.length) {
+            val inSet = j <= p || sorted(j).doc == pivotDoc
+            if (inSet) {
+              val nf = sorted(j).tl.blocks.nextBlockFirstId(sorted(j).pos)
+              if (nf < d) d = nf
+            } else if (beyond < 0) beyond = j
+            j += 1
+          }
+          if (beyond >= 0 && sorted(beyond).doc < d) d = sorted(beyond).doc
+          if (d == Long.MaxValue) {
+            // every pivot-set list is in its final block and nothing lies
+            // beyond: the bound holds to the end of all lists
+            return finishTies(evaluated, threshold)
+          }
+          j = 0
+          while (j < sorted.length && (j <= p || sorted(j).doc == pivotDoc)) {
+            sorted(j).seek(d); j += 1
+          }
         }
-        // advance every cursor sitting on pivotDoc
-        sorted.foreach { c => if (!c.done && c.doc == pivotDoc) c.pos += 1 }
       } else {
         // advance all cursors before the pivot up to pivotDoc
         var j = 0

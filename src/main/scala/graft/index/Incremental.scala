@@ -108,9 +108,9 @@ object Incremental {
       .map { case (term, pa, da, pb, db) =>
         val (ids, tfs, dls) = mergePair(pa, da, pb, db)
         val e = Postings.encode(term, ids, tfs, dls, avgdl)
-        (term, e.df, e.sumTf, e.postings, e.dls, e.blockMax)
+        (term, e.df, e.sumTf, e.postings, e.dls, e.blockMax, e.blockDir)
       }
-      .toDF("term", "df", "sum_tf", "postings", "dls", "block_max")
+      .toDF("term", "df", "sum_tf", "postings", "dls", "block_max", "block_dir")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int"))
 
     out.repartition(col("bucket"))

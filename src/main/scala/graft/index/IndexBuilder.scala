@@ -44,7 +44,7 @@ final case class IndexPaths(root: String) {
 object IndexBuilder {
 
   /** Bump when the on-disk format changes — stale caches self-invalidate. */
-  val FormatVersion: Int = 2
+  val FormatVersion: Int = 3
 
   /** On-disk schema of a global-index layer (incl. the bucket partition
     * column). Layered reads specify it explicitly: an EMPTY delta layer (a
@@ -57,6 +57,7 @@ object IndexBuilder {
       StructField("sum_tf", LongType), StructField("postings", BinaryType),
       StructField("dls", BinaryType),
       StructField("block_max", ArrayType(DoubleType, containsNull = false)),
+      StructField("block_dir", BinaryType),
       StructField("bucket", IntegerType)))
   }
 
@@ -227,7 +228,7 @@ object IndexBuilder {
           .agg(PostingAggExprs.buildPostings(stats.avgdl, col("doc_id"), col("tf"), col("dl")).as("p"))
           .select(col("salt"), col("term"),
             pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
-            col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
+            col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"), col("p.block_dir"))
           // co-locate each (salt, bucket) output dir on one task: without
           // this, every agg task writes a sliver of every dir → ~16k tiny
           // files; with it, exactly one file per partition dir
@@ -288,7 +289,7 @@ object IndexBuilder {
           .agg(PostingAggExprs.mergePostings(stats.avgdl, col("postings"), col("dls")).as("p"))
           .select(col("term"),
             pmod(xxhash64(col("term")), lit(numBuckets)).cast("int").as("bucket"),
-            col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"))
+            col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"), col("p.block_dir"))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(paths.indexDir)
       } finally {

@@ -31,7 +31,8 @@ object PostingAggExprs {
     StructField("sum_tf", LongType, nullable = false),
     StructField("postings", BinaryType, nullable = false),
     StructField("dls", BinaryType, nullable = false),
-    StructField("block_max", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("block_max", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("block_dir", BinaryType, nullable = false)))
 
   def packBuf(b: PostingBuf): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + b.size * 20)
@@ -63,7 +64,7 @@ object PostingAggExprs {
       i += 1
     }
     val e = Postings.encode("", docIds, tfs, dls, avgdl)
-    new GenericInternalRow(Array[Any](e.df, e.sumTf, e.postings, e.dls, new GenericArrayData(e.blockMax)))
+    new GenericInternalRow(Array[Any](e.df, e.sumTf, e.postings, e.dls, new GenericArrayData(e.blockMax), e.blockDir))
   }
 
   // Spark 4 moved Column off Expression; the classic bridge converts both ways.

@@ -33,6 +33,9 @@ object Varint {
     buf += (v & 0x7f).toByte
   }
 
+  def writeSigned(buf: ArrayBuffer[Byte], value: Long): Unit =
+    writeUnsigned(buf, zigzag(value))
+
   /** Reader over a byte array with a mutable cursor. */
   final class Reader(bytes: Array[Byte], var pos: Int = 0) {
     def readUnsigned(): Long = {
@@ -51,13 +54,27 @@ object Varint {
   }
 
   /** Encode postings that are ALREADY strictly sorted by docId. */
-  def encode(docIds: Array[Long], tfs: Array[Int]): Array[Byte] = {
+  def encode(docIds: Array[Long], tfs: Array[Int]): Array[Byte] =
+    encodeBlocked(docIds, tfs, Int.MaxValue)._1
+
+  /** Same wire format, but also returns per-block byte offsets into the gap
+    * run and the tf run (block = `blockSize` postings): `gapOffs(b)` points
+    * at the varint for posting `b·blockSize` in the gap run (for b=0 the
+    * zigzag first value), `tfOffs(b)` at its tf varint. The offsets let a
+    * reader decode one block WITHOUT decompressing everything before it —
+    * the block-max WAND skip list ([[Postings.PostingsBlocks]]).
+    */
+  def encodeBlocked(docIds: Array[Long], tfs: Array[Int], blockSize: Int): (Array[Byte], Array[Int], Array[Int]) = {
     require(docIds.length == tfs.length, "docIds/tfs length mismatch")
+    val nBlocks = if (docIds.length == 0) 0 else 1 + (docIds.length - 1) / blockSize
+    val gapOffs = new Array[Int](nBlocks)
+    val tfOffs = new Array[Int](nBlocks)
     val buf = new ArrayBuffer[Byte](docIds.length * 3 + 8)
     writeUnsigned(buf, docIds.length.toLong)
     var i = 0
     var prev = 0L
     while (i < docIds.length) {
+      if (i % blockSize == 0) gapOffs(i / blockSize) = buf.length
       if (i == 0) writeUnsigned(buf, zigzag(docIds(0)))
       else {
         // compare, don't subtract: ids span the full Long range, so the gap
@@ -70,8 +87,12 @@ object Varint {
       i += 1
     }
     i = 0
-    while (i < tfs.length) { writeUnsigned(buf, tfs(i).toLong); i += 1 }
-    buf.toArray
+    while (i < tfs.length) {
+      if (i % blockSize == 0) tfOffs(i / blockSize) = buf.length
+      writeUnsigned(buf, tfs(i).toLong)
+      i += 1
+    }
+    (buf.toArray, gapOffs, tfOffs)
   }
 
   /** Decode a posting list back to parallel (docIds, tfs) arrays. */

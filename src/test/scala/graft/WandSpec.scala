@@ -14,9 +14,9 @@ class WandSpec extends AnyFunSuite {
   private def bruteForce(lists: Seq[Wand.TermList], avgdl: Double): Map[Long, Double] = {
     val m = scala.collection.mutable.Map.empty[Long, Double]
     lists.foreach { tl =>
-      tl.docIds.indices.foreach { i =>
-        val s = tl.idf * Postings.tfNorm(tl.tfs(i), tl.dls(i), avgdl)
-        m.updateWith(tl.docIds(i))(prev => Some(prev.getOrElse(0.0) + s))
+      (0 until tl.blocks.count).foreach { i =>
+        val s = tl.idf * Postings.tfNorm(tl.blocks.tf(i), tl.blocks.dl(i), avgdl)
+        m.updateWith(tl.blocks.id(i))(prev => Some(prev.getOrElse(0.0) + s))
       }
     }
     m.toMap
@@ -28,7 +28,9 @@ class WandSpec extends AnyFunSuite {
     val tfs = sorted.map(_._2).toArray
     val dls = sorted.map(_._3).toArray
     val e = Postings.encode(term, ids, tfs, dls, avgdl)
-    Wand.TermList(term, idf, ids, tfs, dls, e.blockMax)
+    Wand.TermList(term, idf,
+      Postings.PostingsBlocks.fromEncoded(ids.length.toLong, e.postings, e.dls, e.blockDir),
+      e.blockMax)
   }
 
   private def check(lists: Seq[Wand.TermList], k: Int, avgdl: Double): Unit = {
@@ -82,5 +84,20 @@ class WandSpec extends AnyFunSuite {
     val l = mkList("a", 1.0, docs, avgdl)
     val got = Wand.wandShardTopK(Seq(l), 10, avgdl)
     assert(got.size >= 10)
+  }
+
+  test("block-lazy seek: flat tail blocks are skipped without decompression") {
+    val avgdl = 10.0
+    // a tf=50 spike up front fills the k=1 heap; every later flat block's
+    // bound is below the threshold, so the BMW skip chain hops block-start
+    // to block-start through the directory and never decompresses them
+    val n = 10000
+    val docs = (0 until n).map(i => (i.toLong, if (i == 0) 50 else 1, 10L))
+    val tl = mkList("a", 1.0, docs, avgdl)
+    val got = Wand.wandShardTopK(Seq(tl), 1, avgdl)
+    assert(got.map(_._1).contains(0L))
+    val touched = tl.blocks.decodedBlocks
+    val total = tl.blocks.nBlocks
+    assert(touched <= 2, s"decoded $touched of $total blocks — lazy decode not skipping")
   }
 }
