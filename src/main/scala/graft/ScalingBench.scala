@@ -77,7 +77,12 @@ object ScalingBench {
       val root = s"$rootBase/scaling-cpus$cpus-x$replicate"
       Bench.deleteTree(root)
       val (stats, tBuild) = Bench.time {
-        IndexBuilder.build(spark, stored, IndexPaths(root), buildArgs = s"scaling x$replicate")
+        // persistCorpus=false: the input is a stored table — re-scanning 64
+        // parquet splits per action is cheap; caching 4.8M docs of content
+        // in the block manager GC-walls the build head (measured: stats +
+        // sidecar phases went core-count-independent at ~200 s + ~100 s)
+        IndexBuilder.build(spark, stored, IndexPaths(root), buildArgs = s"scaling x$replicate",
+          persistCorpus = false)
       }
       System.err.println(s"[scaling] build done in $tBuild s")
       val (_, tWand) = Bench.time {

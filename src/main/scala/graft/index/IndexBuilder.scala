@@ -150,14 +150,23 @@ object IndexBuilder {
 
   // ---------- the build ----------
 
-  /** Build (or resume) the index for a corpus. Returns the stats. */
+  /** Build (or resume) the index for a corpus. Returns the stats.
+    *
+    * `persistCorpus`: cache the corpus across the build's three actions.
+    * Right when the input is an EXPENSIVE derivation (the synthesized test
+    * corpus); wrong when it is already a stored table — at 4.8M docs the
+    * persist overflows execution memory and the GC wall makes the whole
+    * build head core-count-independent (and at 100 TB you never cache the
+    * input — you re-scan it). Callers reading parquet pass false.
+    */
   def build(
       spark: SparkSession,
       corpus: DataFrame,
       paths: IndexPaths,
       numSalts: Int = DefaultNumSalts,
       numBuckets: Int = DefaultNumBuckets,
-      buildArgs: String = ""): IndexStats = {
+      buildArgs: String = "",
+      persistCorpus: Boolean = true): IndexStats = {
     def phase[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val a = f
@@ -172,7 +181,8 @@ object IndexBuilder {
     // the block manager was the build's dominant non-scaling cost — doc
     // lengths come from a cheap codegen'd size(tokens) projection instead
     // (TokenizerSpec pins split-semantics equality of the two paths).
-    val c = Corpus.withDocId(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = Corpus.withDocId(corpus)
+    val c = if (persistCorpus) c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else c0
     val dlCol = size(Tokenizer.tokensCol(col("content"))).cast("long")
 
     // Corpus stats: one tiny row to the driver; avgdl parameterizes the
@@ -300,7 +310,7 @@ object IndexBuilder {
       }
     }
 
-    c.unpersist()
+    if (persistCorpus) c.unpersist()
     // a (re)build invalidates any resident reader on this root
     graft.engine.IndexReader.invalidate(paths.root)
     writeStatsJson(paths.statsPath, stats, buildArgs)
