@@ -34,6 +34,51 @@ object SparkEntry {
       .groupBy("repo", "path", "commit", "term")
       .agg(count(lit(1)).as("tf"))
 
+  /** base/out roots of the layered incremental fixture for `dir`. */
+  private def incrPaths(dir: String): (graft.index.IndexPaths, graft.index.IndexPaths) = {
+    val name = java.nio.file.Paths.get(dir).getFileName.toString
+    val v = graft.index.IndexBuilder.FormatVersion
+    (graft.index.IndexPaths(s"target/graft-index/v$v/incr-base-$name"),
+      graft.index.IndexPaths(s"target/graft-index/v$v/incr-out-$name"))
+  }
+
+  /** Ensure the layered incremental root exists: base = 80% of the corpus
+    * (doc-hash sampled), then [[graft.index.Incremental.addBatch]] with the
+    * FULL corpus — the anti-join keeps only the new 20% as a delta layer.
+    * `replay = true` re-runs the add even when a snapshot exists (exercises
+    * J1 idempotency end-to-end). Every incremental query entry is
+    * self-sufficient through this helper (map iteration order is arbitrary).
+    */
+  private def ensureIncr(s: SparkSession, dir: String, replay: Boolean = false): graft.index.IndexPaths = {
+    val (basePaths, outPaths) = incrPaths(dir)
+    if (replay || graft.index.Snapshots.read(outPaths.root).isEmpty) {
+      val full = Corpus.corpus(s, dir)
+      val base = Corpus.withDocId(full)
+        .filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
+        .select("repo", "path", "commit", "lang", "content")
+      if (!graft.index.IndexBuilder.isComplete(basePaths))
+        graft.index.IndexBuilder.build(s, base, basePaths, buildArgs = s"incr-base-$dir")
+      graft.index.Incremental.addBatch(s, basePaths, full, outPaths)
+    }
+    outPaths
+  }
+
+  /** Decode every posting list of `df` back from its varint bytes and
+    * recount — the codec/build roundtrip check shared by the index,
+    * incremental, and compacted entries.
+    */
+  private def decodeRecount(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.select("term", "postings", "dls")
+      .as[(String, Array[Byte], Array[Byte])]
+      .map { case (term, p, d) =>
+        val (docIds, tfs, _) = graft.index.Postings.decode(p, d)
+        (term, docIds.length.toLong, tfs.map(_.toLong).sum)
+      }
+      .toDF("term", "df", "sum_tf")
+      .orderBy("term")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2/J1 dedup + synthesis: the corpus itself, with the sha256 per-row
@@ -147,28 +192,37 @@ object SparkEntry {
     // layered read-back must equal the single-shot full build (oracle =
     // full-corpus tf aggregate).
     "index_incremental" -> ((s, dir) => {
-      import s.implicits._
+      val outPaths = ensureIncr(s, dir, replay = true)
+      decodeRecount(s, graft.index.Incremental.readMergedIndex(s, outPaths.root))
+    }),
+
+    // The layered root SERVED: the reference's query-over-live-store
+    // behavior (FindNode works over whatever has been upserted,
+    // dgraph.go:62-92). Each query term reads its newest-wins layer's row;
+    // results must equal the full-corpus oracle — same one as
+    // bm25_index_topk, proving incremental == rebuild at the query surface.
+    "bm25_incremental_topk" -> ((s, dir) =>
+      graft.engine.IndexSearch.topKAt(s, ensureIncr(s, dir), QuerySet.df(s))),
+
+    // Block-max WAND directly over the layered root: delta layers' salted
+    // segments serve at full (salt × query) parallelism; base-layer bounds
+    // are avgdl-rescaled (sound upper bound), scoring is exact at the new
+    // avgdl — rank-identical to the naive plan.
+    "bm25_wand_incr_topk" -> ((s, dir) =>
+      graft.engine.Wand.topKAt(s, ensureIncr(s, dir), QuerySet.all)),
+
+    // LSM compaction: fold the layered snapshot to ONE exact-bounds layer
+    // (re-encoded at the current avgdl through the same build phases as a
+    // from-scratch build); decode recount == the full-corpus tf aggregate.
+    "index_compacted" -> ((s, dir) => {
+      val out = ensureIncr(s, dir)
       val name = java.nio.file.Paths.get(dir).getFileName.toString
-      val full = Corpus.corpus(s, dir)
-      val base = Corpus.withDocId(full)
-        .filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
-        .select("repo", "path", "commit", "lang", "content")
-      val basePaths = graft.index.IndexPaths(
-        s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-base-$name")
-      if (!graft.index.IndexBuilder.isComplete(basePaths))
-        graft.index.IndexBuilder.build(s, base, basePaths, buildArgs = s"incr-base-$dir")
-      val outPaths = graft.index.IndexPaths(
-        s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-out-$name")
-      graft.index.Incremental.addBatch(s, basePaths, full, outPaths)
-      graft.index.Incremental.readMergedIndex(s, outPaths.root)
-        .select("term", "postings", "dls")
-        .as[(String, Array[Byte], Array[Byte])]
-        .map { case (term, p, d) =>
-          val (ids, tfs, _) = graft.index.Postings.decode(p, d)
-          (term, ids.length.toLong, tfs.map(_.toLong).sum)
-        }
-        .toDF("term", "df", "sum_tf")
-        .orderBy("term")
+      val cRoot = s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-compact-$name"
+      graft.index.Incremental.compact(s, out.root, Some(cRoot))
+      val snap = graft.index.Snapshots.read(cRoot).get
+      require(snap.indexDirs.size == 1, "compacted root must be single-layer")
+      decodeRecount(s,
+        s.read.schema(graft.index.IndexBuilder.IndexSchema).parquet(snap.indexDirs.head))
     }),
 
     // ST1/ST2: streamed tokenize+tf must equal the batch aggregation.
@@ -321,6 +375,18 @@ object SparkEntry {
 
     // incremental result == single-shot full index == the tf aggregate
     "index_incremental" ->
+      s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
+         #SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf
+         #FROM tf GROUP BY term ORDER BY term""".stripMargin('#'),
+
+    // layered root served == the same full-corpus BM25 oracle as the
+    // single-layer index paths (incremental == rebuild at the query surface)
+    "bm25_incremental_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
+    "bm25_wand_incr_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
+
+    // compacted single layer == the tf aggregate (decode-level identity
+    // with a from-scratch rebuild; layer count pinned by the entry itself)
+    "index_compacted" ->
       s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
          #SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf
          #FROM tf GROUP BY term ORDER BY term""".stripMargin('#'),

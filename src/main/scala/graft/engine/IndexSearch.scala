@@ -62,24 +62,44 @@ object IndexSearch {
   /** Bucket-pruned scan + decode of the query terms' posting lists:
     * one row per (term, doc) with (df, tf, dl) — the shared front half of
     * the disjunctive and conjunctive plans.
+    *
+    * Layer-aware: each term reads exactly its newest-wins layer's row
+    * ([[IndexReader.termMeta]]), so a layered (incrementally-updated) root
+    * serves the same plan as a single-layer one. Decode routes through the
+    * executor-local [[PostingCache]] (block-lazy handles memoized per
+    * (build, layer, term)): a hot term's ~10^5-posting list is varint-
+    * decoded AT MOST ONCE per executor, not once per query — this was the
+    * round-2 hot-term p99 (9.1 s driver-measured vs 2.0 s WAND on the same
+    * query; the fix makes steady-state index-path decode cache-resident).
     */
   private def decodedForQueries(spark: SparkSession, reader: IndexReader, queries: DataFrame): DataFrame = {
     import spark.implicits._
     val stats = reader.stats
     val terms = queries.select("term").distinct().as[String].collect().toSeq
-    // bucket(term) must equal the build-side pmod(xxhash64(term), B):
-    // TermHash evaluates Spark's own XxHash64Function driver-side (no job).
-    val buckets = terms.map(graft.index.TermHash.bucket(_, stats.numBuckets)).distinct
-
-    reader.index
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(terms: _*))
-      .select("term", "df", "postings", "dls")
-      .as[(String, Long, Array[Byte], Array[Byte])]
-      .flatMap { case (term, df, p, d) =>
-        val (docIds, tfs, dls) = Postings.decode(p, d)
-        Iterator.range(0, docIds.length).map(i => (term, df, docIds(i), tfs(i), dls(i)))
-      }
-      .toDF("term", "df", "doc_id", "tf", "dl")
+    val meta = reader.termMeta(terms) // term -> (df, winning layer ordinal)
+    val tag = reader.cacheTag
+    val parts = meta.groupBy(_._2._2).toSeq.sortBy(_._1).map { case (ord, ts) =>
+      val layer = reader.layers(ord)
+      val layerTerms = ts.keys.toSeq
+      // bucket(term) must equal the build-side pmod(xxhash64(term), B):
+      // TermHash evaluates Spark's own XxHash64Function driver-side (no job).
+      val buckets = layerTerms.map(graft.index.TermHash.bucket(_, stats.numBuckets)).distinct
+      layer.index
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(layerTerms: _*))
+        .select("term", "df", "postings", "dls", "block_dir")
+        .as[(String, Long, Array[Byte], Array[Byte], Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (term, df, p, d, dir) =>
+            val blocks = Postings.iterAll(PostingCache.open(s"$tag#L$ord", -1, term, df, p, d, dir))
+            blocks.map { case (id, tf, dl) => (term, df, id, tf, dl) }
+          }
+        }
+        .toDF("term", "df", "doc_id", "tf", "dl")
+    }
+    if (parts.isEmpty)
+      spark.emptyDataset[(String, Long, Long, Int, Long)]
+        .toDF("term", "df", "doc_id", "tf", "dl")
+    else parts.reduce(_ unionByName _)
   }
 }

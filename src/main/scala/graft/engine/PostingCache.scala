@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.index.Postings
-import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
+import java.util.{LinkedHashMap => JLinkedHashMap}
 
 /** Executor-local posting-list cache — the engine analog of a search
   * engine's block cache (the reference holds its Dgraph LRU cache resident,
@@ -10,11 +10,18 @@ import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
   * Round 1 re-decoded every hot posting list on EVERY query (q01 "func" =
   * ~600k postings × 16 shards per call — the 73 s WAND p99 in BENCH_r01).
   * This memoizes block-lazy [[Postings.PostingsBlocks]] handles per
-  * (index, salt, term): a block is decompressed at most once per executor,
-  * and only if a query's WAND cursor actually lands in it. The LRU is
-  * bounded by total postings HELD (decoded or not, an upper bound on the
-  * decoded footprint); the key embeds the index root + build stats, so a
-  * rebuild (different stats) cannot serve stale arrays. On a multi-executor
+  * (build, layer, salt, term): a block is decompressed at most once per
+  * executor, and only if a query's cursor actually lands in it.
+  *
+  * STRIPED for service concurrency (round-2 finding: one global JVM lock
+  * serialized every cache hit across 32 query threads): keys hash into
+  * [[NumStripes]] independent LRU shards, each with its own lock and its
+  * own `maxPostings / NumStripes` budget — total memory bound unchanged,
+  * lock contention cut by the stripe count. The bound counts postings HELD
+  * (decoded or not, an upper bound on the decoded footprint ≈24 B each).
+  * The key embeds the index root + snapshot version + build stats + a
+  * stats-write nonce ([[IndexReader]] `cacheTag`), so ANY rebuild — same
+  * stats or not — can never serve stale arrays. On a multi-executor
   * cluster each executor caches the shards it serves.
   */
 object PostingCache {
@@ -22,43 +29,54 @@ object PostingCache {
   /** Max postings held across cached lists (≈24 B each decoded → ~400 MB). */
   @volatile var maxPostings: Long = 16L * 1024 * 1024
 
-  private final case class Entry(blocks: Postings.PostingsBlocks)
+  private val NumStripes = 16
 
-  private var held: Long = 0L
-
-  private val lru = new JLinkedHashMap[String, Entry](1024, 0.75f, true) {
-    override def removeEldestEntry(e: JMap.Entry[String, Entry]): Boolean = false // manual eviction
+  private final class Stripe {
+    var held: Long = 0L
+    val lru = new JLinkedHashMap[String, Postings.PostingsBlocks](128, 0.75f, true)
   }
 
-  /** Memoized block-lazy handle for one (index, salt, term) sub-list. */
+  private val stripes = Array.fill(NumStripes)(new Stripe)
+
+  private def stripeOf(key: String): Stripe =
+    stripes(math.floorMod(key.hashCode, NumStripes))
+
+  /** Memoized block-lazy handle for one (build, layer, salt, term) sub-list. */
   def open(tag: String, salt: Int, term: String, count: Long,
       postings: Array[Byte], dls: Array[Byte], blockDir: Array[Byte]): Postings.PostingsBlocks = {
     val key = s"$tag#$salt#$term"
-    lru.synchronized {
-      val hit = lru.get(key)
-      if (hit != null) return hit.blocks
+    val s = stripeOf(key)
+    s.synchronized {
+      val hit = s.lru.get(key)
+      if (hit != null) return hit
     }
+    // directory parse outside the lock (block decode itself is lazy)
     val blocks = Postings.PostingsBlocks.fromEncoded(count, postings, dls, blockDir)
-    lru.synchronized {
-      val race = lru.get(key)
-      if (race != null) return race.blocks
-      lru.put(key, Entry(blocks))
-      held += blocks.count
-      val it = lru.entrySet().iterator()
-      while (held > maxPostings && it.hasNext) {
+    val budget = math.max(1L, maxPostings / NumStripes)
+    s.synchronized {
+      val race = s.lru.get(key)
+      if (race != null) return race
+      s.lru.put(key, blocks)
+      s.held += blocks.count
+      val it = s.lru.entrySet().iterator()
+      while (s.held > budget && it.hasNext) {
         val e = it.next()
-        if (e.getKey != key) { held -= e.getValue.blocks.count; it.remove() }
+        if (e.getKey != key) { s.held -= e.getValue.count; it.remove() }
       }
       blocks
     }
   }
 
-  /** Drop every entry of one index root (called on rebuild/invalidate). */
-  def invalidatePrefix(rootPrefix: String): Unit = lru.synchronized {
-    val it = lru.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey.startsWith(rootPrefix)) { held -= e.getValue.blocks.count; it.remove() }
+  /** Drop every entry of one index root (called on rebuild/invalidate);
+    * best-effort hygiene — correctness rests on the per-build cache tag.
+    */
+  def invalidatePrefix(rootPrefix: String): Unit = stripes.foreach { s =>
+    s.synchronized {
+      val it = s.lru.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(rootPrefix)) { s.held -= e.getValue.count; it.remove() }
+      }
     }
   }
 }

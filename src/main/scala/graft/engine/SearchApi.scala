@@ -24,14 +24,19 @@ object SearchApi {
   val MaxK: Int = 1000
 
   /** Validated ad-hoc search over a built index. `conjunctive = true`
-    * requires every term (§2.7 intersection); default is OR semantics.
+    * requires every term (§2.7 intersection); default is OR semantics,
+    * served by the block-max WAND path (rank-identical to the full-scoring
+    * plan — WandSpec + the shared oracle pin it — and the cheaper plan:
+    * block-lazy decode + heap-threshold skipping instead of full posting
+    * materialization).
     */
   def search(
       spark: SparkSession,
       paths: IndexPaths,
       terms: Seq[String],
       k: Int,
-      conjunctive: Boolean = false): DataFrame = {
+      conjunctive: Boolean = false,
+      metrics: Option[QueryMetrics] = None): DataFrame = {
     if (terms == null || terms.isEmpty)
       throw new IllegalArgumentException("search: empty term list (400 analog: http_test.go:117-129)")
     if (terms.exists(t => t == null || t.trim.isEmpty))
@@ -46,8 +51,32 @@ object SearchApi {
         .toDF("query_id", "term", "k", "n_terms")
       IndexSearch.topKAndAt(spark, paths, q)
     } else {
-      val q = distinct.map(t => ("adhoc", t, kk)).toDF("query_id", "term", "k")
-      IndexSearch.topKAt(spark, paths, q)
+      Wand.topKAt(spark, paths, Seq(graft.model.Query("adhoc", distinct, kk)), metrics)
     }
+  }
+
+  /** One search request, EXECUTED, with per-request observability — the
+    * engine analog of the reference's request logging + `/metrics`
+    * (`pkg/logging/http_logging.go:31-46`, `pkg/route/route.go:32`):
+    * returns the collected rows plus a metrics map (latency, result count,
+    * candidates evaluated, blocks decoded vs skipped), and emits one JSON
+    * log line per request (request id = the reference's UID analog).
+    */
+  def searchMetered(
+      spark: SparkSession,
+      paths: IndexPaths,
+      terms: Seq[String],
+      k: Int,
+      conjunctive: Boolean = false): (Array[org.apache.spark.sql.Row], Map[String, Long]) = {
+    val m = QueryMetrics(spark)
+    val t0 = System.nanoTime()
+    val rows = search(spark, paths, terms, k, conjunctive, Some(m)).collect()
+    val latencyMs = (System.nanoTime() - t0) / 1000000
+    val reqId = java.lang.Long.toHexString(graft.index.TermHash.xxhash64(terms.mkString(" ") + t0))
+    val stats = m.snapshot ++ Map("latency_ms" -> latencyMs, "n_results" -> rows.length.toLong)
+    val kv = stats.toSeq.sortBy(_._1).map { case (key, v) => s""""$key":$v""" }.mkString(",")
+    System.err.println(
+      s"""{"graft_request":"$reqId","terms":${terms.size},"k":$k,"conjunctive":$conjunctive,$kv}""")
+    (rows, stats)
   }
 }

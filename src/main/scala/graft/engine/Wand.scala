@@ -39,30 +39,46 @@ object Wand {
     topKAt(spark, paths, querySet)
   }
 
-  /** Same, against an already-built (complete) index.
+  /** Same, against an already-built (complete) index — single-layer or
+    * LAYERED (an [[graft.index.Incremental]] snapshot root): each query term
+    * reads its newest-wins layer's salted segments, and non-newest layers'
+    * block-max bounds are multiplied by the layer's `boundScale =
+    * max(1, avgdl_now / avgdl_layer)` (monotonicity bound, see
+    * [[graft.index.Incremental]]) so pruning stays SOUND while exact
+    * scoring uses the current avgdl. Compaction resets scales to 1.
     *
     * Query-time parallelism is `numSalts × |queries|` — each (salt shard,
     * query) pair is one independent WAND run (round 1 keyed by salt alone,
-    * welding query parallelism to a build-time constant). Decoded postings
-    * are memoized per (index, salt, term) in the executor-local
-    * [[PostingCache]], so a steady-state query stream decodes each hot
-    * sub-list once, not per query. Bucket lists and per-term df come from
-    * driver-side hashing ([[graft.index.TermHash]]) and the reader's df
-    * cache — zero Spark jobs of per-query planning overhead after warmup.
+    * welding query parallelism to a build-time constant). Doc-salting is
+    * layer-independent, so a doc stays in one salt shard across layers and
+    * shard runs remain docId-disjoint. Decoded postings are memoized per
+    * (build, layer, salt, term) in the executor-local [[PostingCache]], so
+    * a steady-state query stream decodes each hot sub-list once, not per
+    * query. Bucket lists and per-term df come from driver-side hashing
+    * ([[graft.index.TermHash]]) and the reader's term-metadata cache — zero
+    * Spark jobs of per-query planning overhead after warmup.
     */
-  def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, querySet: Seq[Query]): DataFrame = {
+  def topKAt(
+      spark: SparkSession,
+      paths: graft.index.IndexPaths,
+      querySet: Seq[Query],
+      metrics: Option[QueryMetrics] = None): DataFrame = {
     import spark.implicits._
     val reader = IndexReader.get(spark, paths)
     val stats = reader.stats
 
     val allTerms = querySet.flatMap(_.terms).distinct
-    val buckets = allTerms.map(graft.index.TermHash.bucket(_, stats.numBuckets)).distinct
-    val dfMap: Map[String, Long] = reader.dfOf(allTerms)
+    val meta = reader.termMeta(allTerms) // term -> (df, winning layer ordinal)
+    val dfMap: Map[String, Long] = meta.map { case (t, (d, _)) => t -> d }
 
     val n = stats.nDocs
     val avgdl = stats.avgdl
     val qByIdLocal = querySet.map(q => q.queryId -> q).toMap
     val cacheTag = reader.cacheTag
+
+    if (meta.isEmpty) // every term absent: the reference's 404-with-null-results
+      return spark.emptyDataset[(String, Int, String, String, String, Double)]
+        .toDF("query_id", "rank", "repo", "path", "commit", "score_r")
 
     // segments are partitioned by (salt, bucket): the bucket IN filter
     // prunes to |query-term buckets| directories per salt, and the term IN
@@ -71,23 +87,40 @@ object Wand {
     // by (salt, query) then gives every WAND run its own task slot.
     val qTerms = querySet.flatMap(q => q.terms.distinct.map(t => (q.queryId, t)))
       .toDF("query_id", "term")
-    val segs = reader.segments
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(allTerms: _*))
-      .join(broadcast(qTerms), "term")
-      .select("salt", "query_id", "term", "df", "postings", "dls", "block_max", "block_dir")
-      .as[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte])]
+    val segParts = meta.groupBy(_._2._2).toSeq.sortBy(_._1).map { case (ord, ts) =>
+      val layer = reader.layers(ord)
+      val layerTerms = ts.keys.toSeq
+      val buckets = layerTerms.map(graft.index.TermHash.bucket(_, stats.numBuckets)).distinct
+      layer.segments
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(layerTerms: _*))
+        .join(broadcast(qTerms), "term")
+        .select(col("salt"), col("query_id"), col("term"), col("df"),
+          col("postings"), col("dls"), col("block_max"), col("block_dir"),
+          lit(ord).as("layer_ord"), lit(layer.boundScale).as("bound_scale"))
+    }
+    val segs = segParts.reduce(_ unionByName _)
+      .as[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte], Int, Double)]
 
     val candidates = segs
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, String), rows: Iterator[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte])]) =>
+      .flatMapGroups { (key: (Int, String), rows: Iterator[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte], Int, Double)]) =>
         val (salt, queryId) = key
         val q = qByIdLocal(queryId)
-        val lists = rows.map { case (_, _, t, segDf, p, d, bm, dir) =>
-          val blocks = PostingCache.open(cacheTag, salt, t, segDf, p, d, dir)
-          TermList(t, Postings.idf(dfMap(t), n), blocks, bm.toArray)
+        val lists = rows.map { case (_, _, t, segDf, p, d, bm, dir, ord, scale) =>
+          val blocks = PostingCache.open(s"$cacheTag#L$ord", salt, t, segDf, p, d, dir)
+          val scaled = if (scale == 1.0) bm.toArray else bm.iterator.map(_ * scale).toArray
+          TermList(t, Postings.idf(dfMap(t), n), blocks, scaled)
         }.toSeq
-        wandShardTopK(lists, q.k, avgdl).map { case (docId, score) => (queryId, q.k, docId, score) }
+        val decodedBefore = if (metrics.isDefined) lists.iterator.map(_.blocks.decodedBlocks.toLong).sum else 0L
+        val counters = new WandCounters
+        val res = wandShardTopK(lists, q.k, avgdl, counters)
+        metrics.foreach { m =>
+          m.candidates.add(counters.evaluated)
+          m.blockSkips.add(counters.skips)
+          m.blocksDecoded.add(lists.iterator.map(_.blocks.decodedBlocks.toLong).sum - decodedBefore)
+        }
+        res.map { case (docId, score) => (queryId, q.k, docId, score) }
       }
       .toDF("query_id", "k", "doc_id", "score")
 
@@ -108,8 +141,12 @@ object Wand {
 
   /** Classic block-max WAND over block-lazy shard sub-postings.
     * Returns every doc whose exact score ≥ (k-th best − [[Eps]]).
+    * `counters` (optional) collects evaluated-doc and BMW-skip counts for
+    * [[QueryMetrics]].
     */
-  def wandShardTopK(lists: Seq[TermList], k: Int, avgdl: Double): Seq[(Long, Double)] = {
+  def wandShardTopK(
+      lists: Seq[TermList], k: Int, avgdl: Double,
+      counters: WandCounters = null): Seq[(Long, Double)] = {
     if (lists.isEmpty || k <= 0) return Nil
     final class Cursor(val tl: TermList) { var pos: Int = 0
       def doc: Long = tl.blocks.id(pos)
@@ -149,6 +186,7 @@ object Wand {
           blockUb += sorted(j).tl.blockUpper(sorted(j).pos); j += 1
         }
         if (blockUb >= threshold) {
+          if (counters != null) counters.evaluated += 1
           var score = 0.0
           cursors.foreach { c =>
             if (!c.done) {
@@ -172,6 +210,7 @@ object Wand {
           // [pivotDoc, d) is bounded < threshold and the whole window is
           // skipped WITHOUT decompressing its blocks (seek's block
           // directory + first-id fast path).
+          if (counters != null) counters.skips += 1
           var d = Long.MaxValue
           var j = 0
           var beyond = -1

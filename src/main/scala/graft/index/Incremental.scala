@@ -4,6 +4,7 @@ import graft.corpus.Corpus
 import graft.tokenize.Tokenizer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Incremental index maintenance — SURVEY.md §2.4 J1 + J2, the engine
   * analog of the reference's conditional upserts:
@@ -27,12 +28,16 @@ import org.apache.spark.sql.functions._
   * Stats semantics: nDocs/avgdl count TOKEN-BEARING docs only, matching
   * [[IndexBuilder]] (zero-token docs get a lineage row with dl=0 but no
   * postings — P7). Delta terms are re-encoded with the NEW avgdl, so their
-  * block-max bounds are exact. Untouched base terms keep block-max computed
-  * at the base avgdl; since the BM25 tf-normalization is monotone increasing
-  * in avgdl, a WAND reader over a layered index stays sound by scaling base
-  * bounds with `max(1, avgdl_new / avgdl_base)` — an upper bound because
-  * tfNorm(tf,dl,a')/tfNorm(tf,dl,a) ≤ a'/a for a' > a. At compaction
-  * (periodic full re-encode) the bounds tighten back to exact.
+  * block-max bounds are exact, and the delta layer also gets SALTED
+  * SEGMENTS (same doc-salt function as the base build), so a layered root
+  * is directly WAND-servable at full (salt × query) parallelism. Untouched
+  * base terms keep block-max computed at the base avgdl; since the BM25
+  * tf-normalization is monotone increasing in avgdl, the layered WAND
+  * reader ([[graft.engine.Wand]]) scales base-layer bounds with
+  * `max(1, avgdl_new / avgdl_base)` — an upper bound because
+  * tfNorm(tf,dl,a')/tfNorm(tf,dl,a) ≤ a'/a for a' > a (the ratio is
+  * (C + X/a)/(C + X/a') with C = tf + k1(1−b) ≥ 0, maximized at C = 0).
+  * [[compact]] folds the layers back to one exact-bounds layer.
   */
 object Incremental {
 
@@ -53,7 +58,8 @@ object Incremental {
     // the strict manifest-counting open().
     val baseLayers = Snapshots.read(basePaths.root).getOrElse {
       IndexBuilder.open(basePaths)
-      Snapshot(1, Seq(basePaths.indexDir), Seq(basePaths.docsDir), basePaths.statsPath, None)
+      Snapshot(1, Seq(basePaths.indexDir), Seq(basePaths.docsDir),
+        Seq(basePaths.segmentsDir), Seq(basePaths.statsPath), basePaths.statsPath, None)
     }
     val baseStats = IndexBuilder.readStatsFile(baseLayers.statsPath).getOrElse(
       throw new IllegalStateException(s"missing stats at ${baseLayers.statsPath}"))
@@ -112,9 +118,32 @@ object Incremental {
       }
       .toDF("term", "df", "sum_tf", "postings", "dls", "block_max", "block_dir")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     out.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outPaths.indexDir)
+
+    // Salted delta-layer SEGMENTS — what makes the layered root servable by
+    // the sharded WAND at full (salt × query) parallelism: the merged
+    // per-term lists (base ∪ delta for delta terms) are re-salted with the
+    // SAME doc-salt function as the base build, so a given doc lands in the
+    // same salt shard in every layer and shards stay docId-disjoint.
+    // Delta-sized work: only delta terms are decoded and re-encoded.
+    out.select("term", "postings", "dls")
+      .as[(String, Array[Byte], Array[Byte])]
+      .flatMap { case (term, p, d) =>
+        val (ids, tfs, ls) = Postings.decode(p, d)
+        Iterator.range(0, ids.length).map(i => (term, ids(i), tfs(i).toLong, ls(i)))
+      }
+      .toDF("term", "doc_id", "tf", "dl")
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(newStats.numSalts)).cast("int"))
+      .groupBy("salt", "term")
+      .agg(PostingAggExprs.buildPostings(avgdl, col("doc_id"), col("tf"), col("dl")).as("p"))
+      .select(col("salt"), col("term"),
+        pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int").as("bucket"),
+        col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"), col("p.block_dir"))
+      .repartition(col("salt"), col("bucket"))
+      .write.mode("overwrite").partitionBy("salt", "bucket").parquet(outPaths.segmentsDir)
 
     // docs delta: fresh docs ONLY (base sidecar is referenced, not copied).
     // LEFT join: zero-token fresh docs keep their dl=0 lineage row — same
@@ -124,7 +153,7 @@ object Incremental {
         coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"))
       .write.mode("overwrite").parquet(outPaths.docsDir)
 
-    fresh.unpersist(); tf.unpersist(); delta.unpersist()
+    fresh.unpersist(); tf.unpersist(); delta.unpersist(); out.unpersist()
 
     // persist stats + the layered snapshot: the merged table is openable
     // from outPaths alone.
@@ -133,9 +162,72 @@ object Incremental {
       baseLayers.version + 1,
       baseLayers.indexDirs :+ outPaths.indexDir,
       baseLayers.docsDirs :+ outPaths.docsDir,
+      baseLayers.segmentsDirs :+ outPaths.segmentsDir,
+      baseLayers.statsPaths :+ outPaths.statsPath,
       outPaths.statsPath,
       Some(basePaths.root)))
+    // a new snapshot invalidates any resident reader on this root
+    graft.engine.IndexReader.invalidate(outPaths.root)
     newStats
+  }
+
+  /** Compaction — fold a layered snapshot back to ONE layer, re-encoded at
+    * the CURRENT avgdl so WAND block-max bounds are exact again and queries
+    * stop paying per-layer newest-wins resolution (the LSM compaction the
+    * layered design promises; reference analog: Dgraph's periodic LSM
+    * compaction behind the live store, `pkg/database/relationship/dgraph.go`).
+    *
+    * Reads the newest-wins merged view, rebuilds salted segments + global
+    * index + manifests through the SAME phases as a from-scratch build
+    * ([[IndexBuilder.buildPostingsPhases]]), writes the docs union, and
+    * publishes a single-layer snapshot. With `toRoot = None` the snapshot is
+    * published in place at `root` (version+1, data under
+    * `root/compact-v<N>/`); old layer files become unreferenced (kept on
+    * disk — time travel / concurrent readers, Iceberg-style). With
+    * `toRoot = Some(r)` the compacted table is published as a NEW v1 root.
+    */
+  def compact(spark: SparkSession, root: String, toRoot: Option[String] = None): IndexStats = {
+    val snap = Snapshots.read(root).getOrElse(
+      throw new IllegalStateException(s"compact: no snapshot metadata at $root"))
+    val stats = IndexBuilder.readStatsFile(snap.statsPath).getOrElse(
+      throw new IllegalStateException(s"compact: missing stats at ${snap.statsPath}"))
+
+    val (inner, publishRoot, publishVersion) = toRoot match {
+      case Some(r) => (IndexPaths(r), r, 1)
+      case None => (IndexPaths(s"$root/compact-v${snap.version + 1}"), root, snap.version + 1)
+    }
+    Seq(inner.indexDir, inner.segmentsDir, inner.docsDir, inner.manifestsDir).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+
+    // docs union: per-layer docId sets are disjoint (J1), content_sha and
+    // dl=0 lineage rows carry over unchanged.
+    snap.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(inner.docsDir)
+
+    // (doc_id, term, tf, dl) relation from the newest-wins merged index —
+    // decode is distributed (one task per index row group), then the shared
+    // salted-segments + merge phases re-encode everything at stats.avgdl.
+    import spark.implicits._
+    val tfd = currentIndex(spark, snap)
+      .select("term", "postings", "dls")
+      .as[(String, Array[Byte], Array[Byte])]
+      .flatMap { case (term, p, d) =>
+        val (ids, tfs, ls) = Postings.decode(p, d)
+        Iterator.range(0, ids.length).map(i => (ids(i), term, tfs(i).toLong, ls(i)))
+      }
+      .toDF("doc_id", "term", "tf", "dl")
+    IndexBuilder.buildPostingsPhases(spark, tfd, stats, inner, s"compact v$publishVersion of $root")
+
+    IndexBuilder.writeStatsJson(inner.statsPath, stats, s"compact v$publishVersion of $root")
+    Snapshots.write(publishRoot, Snapshot(
+      publishVersion, Seq(inner.indexDir), Seq(inner.docsDir), Seq(inner.segmentsDir),
+      Seq(inner.statsPath), inner.statsPath, snap.parentRoot))
+    graft.engine.IndexReader.invalidate(publishRoot)
+    stats
   }
 
   /** Newest-wins-per-term view over a snapshot's index layers. Schema is

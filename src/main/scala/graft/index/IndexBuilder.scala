@@ -43,8 +43,11 @@ final case class IndexPaths(root: String) {
   */
 object IndexBuilder {
 
-  /** Bump when the on-disk format changes — stale caches self-invalidate. */
-  val FormatVersion: Int = 3
+  /** Bump when the on-disk format changes — stale caches self-invalidate.
+    * v4: snapshot metadata v2 (per-layer segments dirs + stats paths) and
+    * salted delta-layer segments, making layered roots WAND-servable.
+    */
+  val FormatVersion: Int = 4
 
   /** On-disk schema of a global-index layer (incl. the bucket partition
     * column). Layered reads specify it explicitly: an EMPTY delta layer (a
@@ -59,6 +62,21 @@ object IndexBuilder {
       StructField("block_max", ArrayType(DoubleType, containsNull = false)),
       StructField("block_dir", BinaryType),
       StructField("bucket", IntegerType)))
+  }
+
+  /** On-disk schema of a segments layer (salt + bucket are partition dirs).
+    * Layered WAND reads specify it explicitly: an empty delta layer has no
+    * files to infer from.
+    */
+  val SegmentsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType),
+      StructField("sum_tf", LongType), StructField("postings", BinaryType),
+      StructField("dls", BinaryType),
+      StructField("block_max", ArrayType(DoubleType, containsNull = false)),
+      StructField("block_dir", BinaryType),
+      StructField("salt", IntegerType), StructField("bucket", IntegerType)))
   }
 
   /** On-disk schema of a docs-sidecar layer. */
@@ -148,6 +166,13 @@ object IndexBuilder {
     }
   }
 
+  private def phase[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    System.err.println(f"[build] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    a
+  }
+
   // ---------- the build ----------
 
   /** Build (or resume) the index for a corpus. Returns the stats.
@@ -167,13 +192,6 @@ object IndexBuilder {
       numBuckets: Int = DefaultNumBuckets,
       buildArgs: String = "",
       persistCorpus: Boolean = true): IndexStats = {
-    def phase[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val a = f
-      System.err.println(f"[build] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      a
-    }
-
     // The corpus lineage feeds three actions (stats, docs write, segment
     // build); persist it once instead of recomputing the synthesis per
     // action. The tf relation is NOT persisted: it has exactly one consumer
@@ -208,16 +226,42 @@ object IndexBuilder {
         .write.mode("overwrite").parquet(paths.docsDir)
     }
 
-    // Salted segment build, resumable per salt.
+    // Salted segment build + global merge, resumable per salt — the
+    // tokenizer feeds the salted groupBy directly, no intermediate persist.
+    buildPostingsPhases(spark, Tokenizer.termFreqsWithDl(c), stats, paths, buildArgs)
+
+    if (persistCorpus) c.unpersist()
+    // a (re)build invalidates any resident reader on this root
+    graft.engine.IndexReader.invalidate(paths.root)
+    writeStatsJson(paths.statsPath, stats, buildArgs)
+    // Iceberg-style snapshot: a full build is a single-layer v1 table;
+    // incremental adds append delta layers on top (Snapshots/Incremental).
+    Snapshots.write(paths.root, Snapshot(
+      1, Seq(paths.indexDir), Seq(paths.docsDir), Seq(paths.segmentsDir),
+      Seq(paths.statsPath), paths.statsPath, None))
+    stats
+  }
+
+  /** Salted segments + per-salt manifests + bucket-partitioned global merge
+    * from a `(doc_id, term, tf, dl)` relation — shared by the full build
+    * (tokenizer output) and [[Incremental.compact]] (decoded layered index).
+    * Resumable per salt; any rebuilt salt invalidates the previous merge.
+    */
+  private[index] def buildPostingsPhases(
+      spark: SparkSession,
+      termFreqs: => DataFrame,
+      stats: IndexStats,
+      paths: IndexPaths,
+      buildArgs: String): Unit = {
+    val numSalts = stats.numSalts
+    val numBuckets = stats.numBuckets
     val done = completedSalts(paths)
     val missing = (0 until numSalts).filterNot(done)
     if (missing.nonEmpty) {
       // wipe partial (manifest-less) salt dirs so the rerun is idempotent
       missing.foreach { s => deleteRecursively(Paths.get(s"${paths.segmentsDir}/salt=$s")) }
 
-      // single consumer: the shuffle-free map-side tokenizer feeds the
-      // salted groupBy directly, no intermediate persist
-      val tfd = Tokenizer.termFreqsWithDl(c)
+      val tfd = termFreqs
         .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(numSalts)).cast("int"))
         .filter(col("salt").isin(missing: _*))
 
@@ -309,16 +353,6 @@ object IndexBuilder {
         }
       }
     }
-
-    if (persistCorpus) c.unpersist()
-    // a (re)build invalidates any resident reader on this root
-    graft.engine.IndexReader.invalidate(paths.root)
-    writeStatsJson(paths.statsPath, stats, buildArgs)
-    // Iceberg-style snapshot: a full build is a single-layer v1 table;
-    // incremental adds append delta layers on top (Snapshots/Incremental).
-    Snapshots.write(paths.root, Snapshot(
-      1, Seq(paths.indexDir), Seq(paths.docsDir), paths.statsPath, None))
-    stats
   }
 
   /** Persist an [[IndexStats]] JSON (shared by full build + incremental). */

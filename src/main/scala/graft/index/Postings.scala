@@ -81,6 +81,13 @@ object Postings {
     (docIds, tfs, out)
   }
 
+  /** Iterate a block-lazy handle as (docId, tf, dl) rows — the full-scoring
+    * index path's decode loop; blocks materialize once per executor via
+    * [[graft.engine.PostingCache]] and are reused across queries.
+    */
+  def iterAll(b: PostingsBlocks): Iterator[(Long, Int, Long)] =
+    Iterator.range(0, b.count).map(i => (b.id(i), b.tf(i), b.dl(i)))
+
   /** Scalar BM25 tf normalization — MUST mirror [[BM25.tfNorm]]'s Column
     * expression tree op-for-op so index-path scores are bit-identical to the
     * naive Catalyst plan.

@@ -16,9 +16,11 @@ import java.nio.file.{Files, Paths}
   */
 final case class Snapshot(
     version: Int,
-    indexDirs: Seq[String], // oldest → newest; newest wins per term
-    docsDirs: Seq[String],  // disjoint docId sets; union
-    statsPath: String,
+    indexDirs: Seq[String],    // oldest → newest; newest wins per term
+    docsDirs: Seq[String],     // disjoint docId sets; union
+    segmentsDirs: Seq[String], // per layer, aligned with indexDirs: salted shards for WAND
+    statsPaths: Seq[String],   // per layer, aligned: each layer's encode-time stats (avgdl)
+    statsPath: String,         // CURRENT stats (the newest layer's)
     parentRoot: Option[String])
 
 object Snapshots {
@@ -35,9 +37,11 @@ object Snapshots {
     val dir = Paths.get(metadataDir(root))
     Files.createDirectories(dir)
     val body =
-      s"""{"format_version": 1, "snapshot_version": ${snap.version},
+      s"""{"format_version": 2, "snapshot_version": ${snap.version},
          | "index_dirs": ${jarr(snap.indexDirs)},
          | "docs_dirs": ${jarr(snap.docsDirs)},
+         | "segments_dirs": ${jarr(snap.segmentsDirs)},
+         | "stats_paths": ${jarr(snap.statsPaths)},
          | "stats_path": ${jstr(snap.statsPath)},
          | "parent_root": ${snap.parentRoot.map(jstr).getOrElse("null")}}""".stripMargin
     val meta = dir.resolve(s"v${snap.version}.metadata.json")
@@ -68,6 +72,7 @@ object Snapshots {
       val txt = Files.readString(Paths.get(metadataDir(root), s"v$v.metadata.json"))
       val parent = "\"parent_root\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
       val stats = "\"stats_path\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1)).get
-      Snapshot(v, readArr(txt, "index_dirs"), readArr(txt, "docs_dirs"), stats, parent)
+      Snapshot(v, readArr(txt, "index_dirs"), readArr(txt, "docs_dirs"),
+        readArr(txt, "segments_dirs"), readArr(txt, "stats_paths"), stats, parent)
     }
 }
