@@ -52,10 +52,13 @@ object Bench {
     }
     System.err.println(s"[bench] naive set done in $tNaive s")
 
-    // warm the index reader once, then per-query latencies
+    // warm the index reader once, then per-query latencies. reps=10 over
+    // the 10-query set = 100 samples per path, so the reported p99 is the
+    // 99th percentile (2nd-worst sample), not the max (round-2 finding:
+    // at n=30 one sandbox disk burst DEFINED the p99).
     val (_, tWarm) = time(IndexSearch.topKAt(spark, paths, QuerySet.df(spark)).count())
     System.err.println(s"[bench] index warm set done in $tWarm s")
-    val reps = 3
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "10").toInt
     val indexLat = for { _ <- 1 to reps; q <- QuerySet.all } yield {
       import spark.implicits._
       val qdf = Seq(q).flatMap(x => x.terms.map(t => (x.queryId, t, x.k)))
@@ -77,7 +80,8 @@ object Bench {
       "query_wand_p99" -> percentile(wandLat, 0.99))
     val extras = Map(
       "docs_per_sec" -> stats.nDocs / tBuild,
-      "n_docs" -> stats.nDocs.toDouble)
+      "n_docs" -> stats.nDocs.toDouble,
+      "query_samples_per_path" -> (reps * QuerySet.all.size).toDouble)
     (queries, extras)
   }
 

@@ -38,6 +38,26 @@ import org.apache.spark.sql.functions._
   *   sbt -batch "runMain graft.ScalingBench /root/testdata/sf0.1 32 4 /dev/shm/graft-scaling"
   * ```
   */
+/** Sums executor CPU time and task run time across all completed tasks —
+  * the steal/disk-burst-immune scaling signal (round-2 finding: wall-clock
+  * legs on this shared host swing up to 18×, so the north rule's ≥0.8
+  * efficiency is only demonstrable on CPU time). For an N-vs-4N pair,
+  * `cpu_eff = cpu_N / cpu_4N` is the work-inflation factor (1.0 = the 4N
+  * run did the same total work, i.e. perfect scaling modulo scheduling);
+  * `cpu_sec / (wall × cores)` is the utilization of each leg.
+  */
+final class CpuTimeListener extends org.apache.spark.scheduler.SparkListener {
+  private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+  private val runMs = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime) }
+  }
+  def cpuSec: Double = cpuNs.get / 1e9
+  def taskSec: Double = runMs.get / 1e3
+  def snapshot: (Double, Double) = (cpuSec, taskSec)
+}
+
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
@@ -53,6 +73,8 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cpuListener = new CpuTimeListener
+    spark.sparkContext.addSparkListener(cpuListener)
     try {
       val sfName = Paths.get(sfDir).getFileName.toString
       // Materialize the k×-replicated corpus ONCE as a many-split parquet
@@ -76,6 +98,7 @@ object ScalingBench {
 
       val root = s"$rootBase/scaling-cpus$cpus-x$replicate"
       Bench.deleteTree(root)
+      val (cpu0, task0) = cpuListener.snapshot
       val (stats, tBuild) = Bench.time {
         // persistCorpus=false: the input is a stored table — re-scanning 64
         // parquet splits per action is cheap; caching 4.8M docs of content
@@ -84,12 +107,17 @@ object ScalingBench {
         IndexBuilder.build(spark, stored, IndexPaths(root), buildArgs = s"scaling x$replicate",
           persistCorpus = false)
       }
-      System.err.println(s"[scaling] build done in $tBuild s")
+      val (cpu1, task1) = cpuListener.snapshot
+      System.err.println(s"[scaling] build done in $tBuild s (cpu ${cpu1 - cpu0} s)")
       val (_, tWand) = Bench.time {
         Wand.topKAt(spark, IndexPaths(root), QuerySet.all).count()
       }
+      val (cpu2, task2) = cpuListener.snapshot
+      val util = (cpu1 - cpu0) / (tBuild * cpus)
       println(s"""{"metric":"scaling","cpus":$cpus,"replicate":$replicate,""" +
         s""""build_sec":$tBuild,"docs_per_sec":${stats.nDocs / tBuild},""" +
+        s""""build_cpu_sec":${cpu1 - cpu0},"build_task_sec":${task1 - task0},""" +
+        s""""build_cpu_util":$util,"wand_cpu_sec":${cpu2 - cpu1},"wand_task_sec":${task2 - task1},""" +
         s""""n_docs":${stats.nDocs},"wand_set_sec":$tWand,"sf":"$sfDir"}""")
     } finally spark.stop()
   }

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.score.BM25
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`vec_id`,
@@ -129,38 +128,88 @@ object Ann {
       .orderBy("ia", "ib")
   }
 
-  /** IVF assignment: every vector → its nearest centroid (argmax raw
-    * cosine, ties to the smaller centroid id). Centroids are the
-    * deterministic seed vectors vec_id < [[NumCentroids]].
+  // ---------- IVF with trained centroids (deterministic Lloyd) ----------
+  //
+  // All k-means arithmetic runs in MICRO-INTEGER space: embeddings quantize
+  // to floor(x·1e6 + 0.5) bigints, so every dot product is a sum of exact
+  // ≤2^42 integers (≤2^48 total < 2^53) — EXACTLY representable in double
+  // regardless of summation order, and centroid means are exact integer
+  // sums followed by one floor-division. That makes training bit-identical
+  // across engines (Spark vs the DuckDB oracle) with no float-accumulation
+  // drift — the property the raw-float path could only get per-expression.
+
+  /** Lloyd iterations, unrolled (fixed count ⇒ SQL-expressible oracle). */
+  val KMeansIters = 2
+
+  /** `array<float>` → `array<bigint>` micro quantization. */
+  def microCol(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+
+  /** Cosine over micro-int arrays (cast to double per element — exact). */
+  def cosineM(a: Column, b: Column): Column = cosine(a, b)
+
+  /** Nearest-centroid assignment over micro vectors: argmax cosine, ties to
+    * the smaller centroid id — `max_by` over a (cos, −id) ordering struct,
+    * NOT a row_number window (a per-vec_id window would funnel the scored
+    * relation through one task per vector group; max_by reduces map-side).
     */
-  def ivfAssign(emb: DataFrame): DataFrame = {
-    val cents = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    val cos = cosine(col("embedding"), col("ce"))
-    val w = Window.partitionBy("vec_id").orderBy(cos.desc, col("centroid_id").asc)
-    emb.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  private def assignM(m: DataFrame, cents: DataFrame): DataFrame = {
+    val cos = cosineM(col("m"), col("cm"))
+    m.crossJoin(broadcast(cents))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("centroid_id"),
+        struct(cos.as("c"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
   }
 
-  /** IVF top-k: probe the [[NProbe]] nearest centroids per query, score
-    * only vectors assigned to them. Approximate by design — the oracle
-    * runs the identical probe, so outputs match exactly.
+  /** Trained IVF centroids `(centroid_id, cm: array<bigint>)`: init = the
+    * seed vectors vec_id < [[NumCentroids]], then [[KMeansIters]] Lloyd
+    * steps (assign → exact integer mean per component, floor-divided; an
+    * emptied cluster keeps its previous centroid). Deterministic end to end
+    * — the DuckDB oracle unrolls the identical iterations.
+    *
+    * Scale shape: assignment is a broadcast cross-join + map-side-combining
+    * aggregate; the mean is a (centroid, pos) sum/count groupBy — 512
+    * groups with partial aggregation, no skew risk, no windows.
+    */
+  def kmeansCentroids(emb: DataFrame): DataFrame = {
+    val m = emb.select(col("vec_id"), microCol(col("embedding")).as("m"))
+    var cents = m.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("m").as("cm"))
+    for (_ <- 1 to KMeansIters) {
+      val comp = assignM(m, cents)
+        .select(col("centroid_id"), posexplode(col("m")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos")
+        .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
+      val next = comp.groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("cm2"))
+      cents = cents.join(next, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("cm2"), col("cm")).as("cm"))
+    }
+    cents
+  }
+
+  /** IVF top-k with TRAINED centroids: assign every vector to its nearest
+    * trained centroid, probe the [[NProbe]] nearest centroids per query
+    * (k-bounded heap aggregate, not a window), score only vectors in the
+    * probed cells. Approximate by design — the oracle runs the identical
+    * training + probe, so outputs match exactly; AnnSpec reports recall@k
+    * against the brute-force baseline.
     */
   def ivfTopK(emb: DataFrame): DataFrame = {
-    val assigned = ivfAssign(emb)
-    val q = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cents = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    val qcos = cosine(col("qe"), col("ce"))
-    val wq = Window.partitionBy("query_id").orderBy(qcos.desc, col("centroid_id").asc)
+    val m = emb.select(col("vec_id"), microCol(col("embedding")).as("m"))
+    val cents = kmeansCentroids(emb)
+    val assigned = assignM(m, cents)
+    val q = m.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"))
+    val qcos = cosineM(col("qm"), col("cm"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= NProbe)
-      .select(col("query_id"), col("qe"), col("centroid_id"))
-    val cos = cosine(col("qe"), col("embedding"))
+      .groupBy("query_id", "qm")
+      .agg(graft.engine.TopKAggExprs.topK(lit(NProbe), qcos,
+        struct(col("centroid_id"))).as("hits"))
+      .select(col("query_id"), col("qm"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("qm"), col("h.centroid_id").as("centroid_id"))
+    val cos = cosineM(col("qm"), col("m"))
     val scored = assigned.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), BM25.quantize(cos).as("cos_r"))

@@ -74,10 +74,21 @@ object Dedup {
       .select(col("ida"), col("idb"), BM25.quantize(jac).as("jac_r"))
   }
 
-  /** Exact n-gram Jaccard pairs ≥ threshold. Candidates are pairs sharing
-    * ≥1 NON-UBIQUITOUS shingle (df ≤ [[MaxShingleDf]] — the blocking key);
-    * verification then computes the exact Jaccard over the candidates'
-    * full shingle sets (hot shingles included).
+  /** n-gram Jaccard pairs ≥ threshold, with BLOCKED candidate generation.
+    * Candidates are pairs sharing ≥1 non-ubiquitous shingle (df ≤
+    * [[MaxShingleDf]] — the blocking key); verification then computes the
+    * EXACT Jaccard over the candidates' full shingle sets (hot shingles
+    * included).
+    *
+    * RECALL BOUND, not exact-recall: a duplicate cluster in which EVERY
+    * shared shingle has df > [[MaxShingleDf]] (i.e. the same content
+    * duplicated to more than ~MaxShingleDf docs) is never nominated by
+    * this path — the blocking cap that keeps candidate generation
+    * non-quadratic is exactly what hides it. Mass-duplicated content is
+    * therefore routed to [[minhashLshPairs]], whose band keys are MIN-hash
+    * values (one row per doc per band, df-independent) and are unaffected
+    * by the cap, or to [[exact]]/[[TextOps.fingerprint]] for verbatim
+    * copies. Verified pairs themselves are exact (no false positives).
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val ex = shingles(docs)

@@ -252,26 +252,64 @@ object OpsOracleSql {
        #SELECT query_id, rank, vec_id, cos_r FROM r WHERE rank <= ${Ann.TopK}
        #ORDER BY query_id, rank""".stripMargin('#')
 
-  val ivfTopK: String =
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-       #cents AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS ce FROM e WHERE vec_id < ${Ann.NumCentroids}),
+  /** Trained IVF — mirrors [[Ann.ivfTopK]]: the SAME unrolled Lloyd
+    * iterations over micro-quantized (×1e6, floor+0.5) bigint vectors.
+    * Micro-space dot products are sums of exact ≤2^42 integers (< 2^53
+    * total), hence bit-identical doubles in both engines regardless of
+    * summation order; centroid means are exact integer sums floor-divided.
+    * The oracle uses windows for argmax/top-n (fine in DuckDB — only the
+    * Spark plan has the no-window rule).
+    */
+  val ivfTopK: String = {
+    // one Lloyd step: cent$i := component-wise floor-mean of vectors
+    // assigned (argmax micro-cosine, ties to smaller id) to cent${i-1};
+    // emptied clusters keep the previous centroid
+    def lloyd(i: Int): String = {
+      val prev = s"cent${i - 1}"
+      s"""asg$i AS MATERIALIZED (
+         #  SELECT vec_id, m, centroid_id FROM (
+         #    SELECT t.vec_id, t.m, c.centroid_id,
+         #           row_number() OVER (PARTITION BY t.vec_id ORDER BY ${cosSql("t.m", "c.cm")} DESC, c.centroid_id ASC) AS rn
+         #    FROM em t CROSS JOIN $prev c
+         #  ) WHERE rn = 1
+         #),
+         #comp$i AS MATERIALIZED (
+         #  SELECT centroid_id, pos, CAST(floor(CAST(sum(m[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         #  FROM asg$i CROSS JOIN (SELECT unnest(generate_series(1, ${Ann.Dim})) AS pos) p
+         #  GROUP BY centroid_id, pos
+         #),
+         #cnew$i AS MATERIALIZED (
+         #  SELECT centroid_id, list(cv ORDER BY pos) AS cm2 FROM comp$i GROUP BY centroid_id
+         #),
+         #cent$i AS MATERIALIZED (
+         #  SELECT c.centroid_id, coalesce(n.cm2, c.cm) AS cm
+         #  FROM cent${i - 1} c LEFT JOIN cnew$i n USING (centroid_id)
+         #)""".stripMargin('#')
+    }
+    val last = s"cent${Ann.KMeansIters}"
+    s"""WITH em AS MATERIALIZED (
+       #  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS m
+       #  FROM embeddings
+       #),
+       #cent0 AS MATERIALIZED (SELECT vec_id AS centroid_id, m AS cm FROM em WHERE vec_id < ${Ann.NumCentroids}),
+       #${(1 to Ann.KMeansIters).map(lloyd).mkString(",\n#")},
        #assign AS MATERIALIZED (
-       #  SELECT vec_id, embedding, centroid_id FROM (
-       #    SELECT e.vec_id, e.embedding, c.centroid_id,
-       #           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id ASC) AS rn
-       #    FROM e CROSS JOIN cents c
+       #  SELECT vec_id, m, centroid_id FROM (
+       #    SELECT t.vec_id, t.m, c.centroid_id,
+       #           row_number() OVER (PARTITION BY t.vec_id ORDER BY ${cosSql("t.m", "c.cm")} DESC, c.centroid_id ASC) AS rn
+       #    FROM em t CROSS JOIN $last c
        #  ) WHERE rn = 1
        #),
-       #qv AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < ${Ann.NumQueries}),
+       #qv AS MATERIALIZED (SELECT vec_id AS query_id, m AS qm FROM em WHERE vec_id < ${Ann.NumQueries}),
        #probes AS MATERIALIZED (
-       #  SELECT query_id, qe, centroid_id FROM (
-       #    SELECT q.query_id, q.qe, c.centroid_id,
-       #           row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.centroid_id ASC) AS rn
-       #    FROM qv q CROSS JOIN cents c
+       #  SELECT query_id, qm, centroid_id FROM (
+       #    SELECT q.query_id, q.qm, c.centroid_id,
+       #           row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("q.qm", "c.cm")} DESC, c.centroid_id ASC) AS rn
+       #    FROM qv q CROSS JOIN $last c
        #  ) WHERE rn <= ${Ann.NProbe}
        #),
        #scored AS MATERIALIZED (
-       #  SELECT p.query_id, a.vec_id, ${q(s"${cosSql("p.qe", "a.embedding")}")} AS cos_r
+       #  SELECT p.query_id, a.vec_id, ${q(s"${cosSql("p.qm", "a.m")}")} AS cos_r
        #  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
        #  WHERE a.vec_id <> p.query_id
        #),
@@ -282,6 +320,7 @@ object OpsOracleSql {
        #)
        #SELECT query_id, rank, vec_id, cos_r FROM r WHERE rank <= ${Ann.TopK}
        #ORDER BY query_id, rank""".stripMargin('#')
+  }
 
   val mmBinaryMeta: String =
     s"""SELECT doc_id,

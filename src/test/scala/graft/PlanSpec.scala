@@ -78,7 +78,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan(graft.engine.NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark))),
       plan(graft.engine.IndexSearch.topKAt(spark, paths, QuerySet.df(spark))),
       plan(graft.engine.Wand.topKAt(spark, paths, QuerySet.all)),
-      plan(graft.ops.Ann.bruteForceTopK(graft.ops.Ann.embeddings(spark, sfDir))))
+      plan(graft.ops.Ann.bruteForceTopK(graft.ops.Ann.embeddings(spark, sfDir))),
+      // IVF incl. k-means assignment + probe selection (max_by / TopK agg)
+      plan(graft.ops.Ann.ivfTopK(graft.ops.Ann.embeddings(spark, sfDir))))
     plans.foreach { p =>
       assert(p.contains("top_k_by_score"), s"ranking tail is not the top-k aggregate:\n$p")
       assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),

@@ -58,6 +58,17 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.map(_.getInt(1)).toSeq === (1 to 5))
   }
 
+  test("metered search executes, returns rows + populated counters, and logs a request line") {
+    val (rows, stats) = SearchApi.searchMetered(spark, paths, Seq("func", "buffer"), 5)
+    assert(rows.length === 5)
+    assert(stats("n_results") === 5L)
+    assert(stats("candidates_evaluated") > 0L, s"no candidates counted: $stats")
+    assert(stats.contains("latency_ms") && stats.contains("blocks_decoded") && stats.contains("block_skips"))
+    // hot term at sf0.001 spans multiple blocks: a WARM rerun decodes none
+    val (_, warm) = SearchApi.searchMetered(spark, paths, Seq("func", "buffer"), 5)
+    assert(warm("blocks_decoded") === 0L, s"warm rerun re-decoded blocks: $warm")
+  }
+
   test("conjunctive search returns only docs containing every term") {
     def keySet(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
       df.select("repo", "path", "commit").collect()
