@@ -58,7 +58,7 @@ object Bench {
     // at n=30 one sandbox disk burst DEFINED the p99).
     val (_, tWarm) = time(IndexSearch.topKAt(spark, paths, QuerySet.df(spark)).count())
     System.err.println(s"[bench] index warm set done in $tWarm s")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "10").toInt
+    val reps = Config.benchReps
     val indexLat = for { _ <- 1 to reps; q <- QuerySet.all } yield {
       import spark.implicits._
       val qdf = Seq(q).flatMap(x => x.terms.map(t => (x.queryId, t, x.k)))
@@ -86,15 +86,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = Config.sfDir
+    val cpus = Config.cpus
+    val spark = Config.session()
     val (queries, extras) = run(spark, sfDir, s"target/graft-index/bench-cpus$cpus")
     val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val ex = extras.map { case (k, v) => s""""$k":$v""" }.mkString(",")

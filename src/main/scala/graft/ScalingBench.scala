@@ -65,14 +65,7 @@ object ScalingBench {
     val cpus = args.lift(1).map(_.toInt).getOrElse(8)
     val replicate = args.lift(2).map(_.toInt).getOrElse(4)
     val rootBase = args.lift(3).getOrElse("target/graft-index")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", sys.env.getOrElse("GRAFT_SPARK_LOCAL", "/tmp"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Config.session(cpus)
     val cpuListener = new CpuTimeListener
     spark.sparkContext.addSparkListener(cpuListener)
     try {

@@ -211,6 +211,32 @@ object SparkEntry {
     "bm25_wand_incr_topk" -> ((s, dir) =>
       graft.engine.Wand.topKAt(s, ensureIncr(s, dir), QuerySet.all)),
 
+    // Three-batch LSM chain: build on ⅓ of the corpus, then two successive
+    // addBatch calls (⅔, then full) — each appends one delta layer on top
+    // of the previous snapshot (base files never rewritten). The 3-layer
+    // merged read-back must still equal the full-corpus tf aggregate.
+    "index_incremental_chain" -> ((s, dir) => {
+      val name = java.nio.file.Paths.get(dir).getFileName.toString
+      val v = graft.index.IndexBuilder.FormatVersion
+      val r0 = graft.index.IndexPaths(s"target/graft-index/v$v/chain0-$name")
+      val r1 = graft.index.IndexPaths(s"target/graft-index/v$v/chain1-$name")
+      val r2 = graft.index.IndexPaths(s"target/graft-index/v$v/chain2-$name")
+      if (graft.index.Snapshots.read(r2.root).isEmpty) {
+        val full = Corpus.corpus(s, dir)
+        val withId = Corpus.withDocId(full)
+        def slice(maxPart: Int) = withId
+          .filter(pmod(xxhash64(col("doc_id")), lit(3)) <= maxPart)
+          .select("repo", "path", "commit", "lang", "content")
+        if (!graft.index.IndexBuilder.isComplete(r0))
+          graft.index.IndexBuilder.build(s, slice(0), r0, buildArgs = s"chain0-$dir")
+        graft.index.Incremental.addBatch(s, r0, slice(1), r1)
+        graft.index.Incremental.addBatch(s, r1, full, r2)
+      }
+      val snap = graft.index.Snapshots.read(r2.root).get
+      require(snap.indexDirs.size == 3, s"chain must be 3 layers, got ${snap.indexDirs.size}")
+      decodeRecount(s, graft.index.Incremental.readMergedIndex(s, r2.root))
+    }),
+
     // LSM compaction: fold the layered snapshot to ONE exact-bounds layer
     // (re-encoded at the current avgdl through the same build phases as a
     // from-scratch build); decode recount == the full-corpus tf aggregate.
@@ -375,6 +401,12 @@ object SparkEntry {
 
     // incremental result == single-shot full index == the tf aggregate
     "index_incremental" ->
+      s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
+         #SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf
+         #FROM tf GROUP BY term ORDER BY term""".stripMargin('#'),
+
+    // 3-layer chain == the same full-corpus tf aggregate
+    "index_incremental_chain" ->
       s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
          #SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf
          #FROM tf GROUP BY term ORDER BY term""".stripMargin('#'),

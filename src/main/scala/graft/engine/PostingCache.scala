@@ -26,8 +26,10 @@ import java.util.{LinkedHashMap => JLinkedHashMap}
   */
 object PostingCache {
 
-  /** Max postings held across cached lists (≈24 B each decoded → ~400 MB). */
-  @volatile var maxPostings: Long = 16L * 1024 * 1024
+  /** Max postings held across cached lists (≈24 B each decoded → ~400 MB
+    * at the default; env `GRAFT_MAX_CACHED_POSTINGS`, see [[graft.Config]]).
+    */
+  @volatile var maxPostings: Long = graft.Config.maxCachedPostings
 
   private val NumStripes = 16
 
