@@ -42,10 +42,17 @@ object Bench {
     val paths = IndexPaths(indexRoot)
     deleteTree(indexRoot)
 
+    // executor CPU time per phase: utilization = cpu/(wall×cores) is the
+    // steal/disk-burst-immune signal (see BASELINE.md scaling analysis)
+    val cpu = new CpuTimeListener
+    spark.sparkContext.addSparkListener(cpu)
+    val cores = spark.sparkContext.defaultParallelism
+
     val (stats, tBuild) = time {
       IndexBuilder.build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"bench-$sfName")
     }
-    System.err.println(s"[bench] build done in $tBuild s")
+    val buildCpu = cpu.cpuSec
+    System.err.println(s"[bench] build done in $tBuild s (cpu $buildCpu s)")
 
     val (_, tNaive) = time {
       NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark)).count()
@@ -81,7 +88,9 @@ object Bench {
     val extras = Map(
       "docs_per_sec" -> stats.nDocs / tBuild,
       "n_docs" -> stats.nDocs.toDouble,
-      "query_samples_per_path" -> (reps * QuerySet.all.size).toDouble)
+      "query_samples_per_path" -> (reps * QuerySet.all.size).toDouble,
+      "build_cpu_sec" -> buildCpu,
+      "build_cpu_util" -> buildCpu / (tBuild * cores))
     (queries, extras)
   }
 

@@ -128,20 +128,33 @@ object Incremental {
     // per-term lists (base ∪ delta for delta terms) are re-salted with the
     // SAME doc-salt function as the base build, so a given doc lands in the
     // same salt shard in every layer and shards stay docId-disjoint.
-    // Delta-sized work: only delta terms are decoded and re-encoded.
+    // Split + encode happen INSIDE one flatMap (a stable partition of a
+    // sorted list by salt keeps each sub-list sorted): no exploded
+    // (term, doc)-row shuffle, no re-aggregation — the only exchange is the
+    // (salt, bucket) repartition that co-locates output files.
+    val numSalts = newStats.numSalts
     out.select("term", "postings", "dls")
       .as[(String, Array[Byte], Array[Byte])]
       .flatMap { case (term, p, d) =>
         val (ids, tfs, ls) = Postings.decode(p, d)
-        Iterator.range(0, ids.length).map(i => (term, ids(i), tfs(i).toLong, ls(i)))
+        val salts = Array.tabulate(ids.length)(i => TermHash.salt(ids(i), numSalts))
+        (0 until numSalts).iterator.flatMap { s =>
+          val n = { var c = 0; var i = 0; while (i < salts.length) { if (salts(i) == s) c += 1; i += 1 }; c }
+          if (n == 0) Iterator.empty
+          else {
+            val si = new Array[Long](n); val st = new Array[Int](n); val sl = new Array[Long](n)
+            var i = 0; var o = 0
+            while (i < salts.length) {
+              if (salts(i) == s) { si(o) = ids(i); st(o) = tfs(i); sl(o) = ls(i); o += 1 }
+              i += 1
+            }
+            val e = Postings.encode(term, si, st, sl, avgdl)
+            Iterator.single((s, term, e.df, e.sumTf, e.postings, e.dls, e.blockMax, e.blockDir))
+          }
+        }
       }
-      .toDF("term", "doc_id", "tf", "dl")
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(newStats.numSalts)).cast("int"))
-      .groupBy("salt", "term")
-      .agg(PostingAggExprs.buildPostings(avgdl, col("doc_id"), col("tf"), col("dl")).as("p"))
-      .select(col("salt"), col("term"),
-        pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int").as("bucket"),
-        col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"), col("p.block_dir"))
+      .toDF("salt", "term", "df", "sum_tf", "postings", "dls", "block_max", "block_dir")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int"))
       .repartition(col("salt"), col("bucket"))
       .write.mode("overwrite").partitionBy("salt", "bucket").parquet(outPaths.segmentsDir)
 

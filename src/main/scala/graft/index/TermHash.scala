@@ -1,7 +1,7 @@
 package graft.index
 
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Driver-side twin of the build-time bucket expression
@@ -20,6 +20,16 @@ object TermHash {
   /** Spark SQL `pmod(xxhash64(s), n)`, computed locally. */
   def bucket(s: String, n: Int): Int = {
     val m = xxhash64(s) % n
+    (if (m < 0) m + n else m).toInt
+  }
+
+  /** Spark SQL `pmod(xxhash64(docId), n)` for a LongType column, computed
+    * locally — the build's doc-salt function
+    * (`pmod(xxhash64(col("doc_id")), numSalts)`), used by the delta-layer
+    * segments writer to split merged lists WITHOUT a Spark-side explode.
+    */
+  def salt(docId: Long, n: Int): Int = {
+    val m = XxHash64Function.hash(docId, LongType, 42L) % n
     (if (m < 0) m + n else m).toInt
   }
 }

@@ -74,7 +74,13 @@ class LayeredServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     Query("s2", Seq("basetail", "deltaword"), 10),
     Query("s3", Seq("mix", "common"), 7),
     Query("s4", Seq("basetail"), 25),  // k > df: full list, base layer only
-    Query("s5", Seq("nosuch"), 10))
+    Query("s5", Seq("nosuch"), 10),
+    // CROSS-LAYER same-doc summation: "basetail" serves from the BASE
+    // layer, "common" from the DELTA layer, and base docs with i%3==0
+    // match both — their scores are correct only if the doc lands in the
+    // SAME salt shard in both layers (pins the delta-segments salt
+    // function == the build's doc-salt function)
+    Query("s6", Seq("basetail", "common"), 15))
 
   private def queriesDf: DataFrame = {
     val s = spark
