@@ -184,6 +184,25 @@ object Incremental {
     newStats
   }
 
+  /** [[addBatch]] + automatic LSM housekeeping: when the resulting snapshot
+    * exceeds `maxLayers`, fold it back to one layer in place
+    * ([[compact]]) — queries never pay more than `maxLayers`-deep
+    * newest-wins resolution, the unbounded-chain failure mode of an
+    * append-only LSM. The compaction is crash-safe (snapshot-last: an
+    * interrupted compact leaves the previous version serving).
+    */
+  def addBatchCompacting(
+      spark: SparkSession,
+      basePaths: IndexPaths,
+      newCorpus: DataFrame,
+      outPaths: IndexPaths,
+      maxLayers: Int = 8): IndexStats = {
+    val stats = addBatch(spark, basePaths, newCorpus, outPaths)
+    val snap = Snapshots.read(outPaths.root).get
+    if (snap.indexDirs.size > maxLayers) compact(spark, outPaths.root)
+    stats
+  }
+
   /** Compaction — fold a layered snapshot back to ONE layer, re-encoded at
     * the CURRENT avgdl so WAND block-max bounds are exact again and queries
     * stop paying per-layer newest-wins resolution (the LSM compaction the

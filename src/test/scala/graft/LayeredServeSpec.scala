@@ -158,4 +158,19 @@ class LayeredServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decodeCounts(cReader.newest.index) ===
       decodeCounts(spark.read.parquet(fullPaths.indexDir)))
   }
+
+  test("addBatchCompacting bounds the layer count and keeps query identity") {
+    val basePaths = IndexPaths(s"$root/pol-base")
+    IndexBuilder.build(spark, corpusOf(baseDocs), basePaths, buildArgs = "policy-base")
+    // first add: 2 layers ≤ maxLayers=2 → stays layered
+    val o1 = IndexPaths(s"$root/pol-1")
+    Incremental.addBatchCompacting(spark, basePaths, corpusOf(baseDocs ++ deltaDocs.take(10)), o1, maxLayers = 2)
+    assert(Snapshots.read(o1.root).get.indexDirs.size === 2)
+    // second add: would be 3 layers > maxLayers → auto-compacts to 1
+    val o2 = IndexPaths(s"$root/pol-2")
+    Incremental.addBatchCompacting(spark, o1, corpusOf(baseDocs ++ deltaDocs), o2, maxLayers = 2)
+    assert(Snapshots.read(o2.root).get.indexDirs.size === 1)
+    val naive = rows(graft.engine.NaiveSearch.topK(spark, corpusOf(baseDocs ++ deltaDocs), queriesDf))
+    assert(rows(Wand.topKAt(spark, o2, queries)) === naive)
+  }
 }
