@@ -52,6 +52,12 @@ object Incremental {
       basePaths: IndexPaths,
       newCorpus: DataFrame,
       outPaths: IndexPaths): IndexStats = {
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      System.err.println(f"[add] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
     // a snapshot is only ever published on completion, so its presence is
     // the completeness watermark for layered roots (delta outputs have no
     // salt manifests of their own); legacy single-layer roots fall back to
@@ -84,7 +90,8 @@ object Incremental {
     // dl-derived stats never count (DeadDocSpec pins that invariant).
     val oldDls = baseDocs.select(col("doc_id"), col("dl")).filter(col("dl") > 0)
     val allDls = oldDls.union(dl)
-    val sRow = allDls.agg(count(lit(1)), avg(col("dl").cast("double")), sum("dl")).head()
+    val sRow = phase("stats")(
+      allDls.agg(count(lit(1)), avg(col("dl").cast("double")), sum("dl")).head())
     val newStats = IndexStats(IndexBuilder.FormatVersion, sRow.getLong(0), sRow.getDouble(1),
       sRow.getLong(2), baseStats.numSalts, baseStats.numBuckets)
 
@@ -120,8 +127,8 @@ object Incremental {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    out.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(outPaths.indexDir)
+    phase("merge+index-write")(out.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outPaths.indexDir))
 
     // Salted delta-layer SEGMENTS — what makes the layered root servable by
     // the sharded WAND at full (salt × query) parallelism: the merged
@@ -133,7 +140,7 @@ object Incremental {
     // (term, doc)-row shuffle, no re-aggregation — the only exchange is the
     // (salt, bucket) repartition that co-locates output files.
     val numSalts = newStats.numSalts
-    out.select("term", "postings", "dls")
+    phase("segments-write")(out.select("term", "postings", "dls")
       .as[(String, Array[Byte], Array[Byte])]
       .flatMap { case (term, p, d) =>
         val (ids, tfs, ls) = Postings.decode(p, d)
@@ -156,15 +163,15 @@ object Incremental {
       .toDF("salt", "term", "df", "sum_tf", "postings", "dls", "block_max", "block_dir")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(newStats.numBuckets)).cast("int"))
       .repartition(col("salt"), col("bucket"))
-      .write.mode("overwrite").partitionBy("salt", "bucket").parquet(outPaths.segmentsDir)
+      .write.mode("overwrite").partitionBy("salt", "bucket").parquet(outPaths.segmentsDir))
 
     // docs delta: fresh docs ONLY (base sidecar is referenced, not copied).
     // LEFT join: zero-token fresh docs keep their dl=0 lineage row — same
     // invariant as IndexBuilder's sidecar write (P7).
-    fresh.join(dl, Seq("doc_id"), "left")
+    phase("docs-write")(fresh.join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
         coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"))
-      .write.mode("overwrite").parquet(outPaths.docsDir)
+      .write.mode("overwrite").parquet(outPaths.docsDir))
 
     fresh.unpersist(); tf.unpersist(); delta.unpersist(); out.unpersist()
 
