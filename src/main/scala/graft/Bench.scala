@@ -51,6 +51,8 @@ object Bench {
     val (stats, tBuild) = time {
       IndexBuilder.build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"bench-$sfName")
     }
+    // drain queued onTaskEnd events before reading (async listener bus)
+    org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
     val buildCpu = cpu.cpuSec
     System.err.println(s"[bench] build done in $tBuild s (cpu $buildCpu s)")
 

@@ -33,9 +33,7 @@ object LsmBench {
       val rootBase = "target/graft-lsm"
       Bench.deleteTree(rootBase)
       val full = Corpus.corpus(spark, sfDir)
-      val base = Corpus.withDocId(full)
-        .filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
-        .select("repo", "path", "commit", "lang", "content")
+      val base = Corpus.baseSlice(full)
 
       val pFull = IndexPaths(s"$rootBase/full")
       val pBase = IndexPaths(s"$rootBase/base")

@@ -55,7 +55,15 @@ final class CpuTimeListener extends org.apache.spark.scheduler.SparkListener {
   }
   def cpuSec: Double = cpuNs.get / 1e9
   def taskSec: Double = runMs.get / 1e3
-  def snapshot: (Double, Double) = (cpuSec, taskSec)
+
+  /** Drain the async listener bus, THEN read — without the drain the last
+    * wave of a phase's task-end events can still be queued, undercounting
+    * this phase and crediting the remainder to the next snapshot delta.
+    */
+  def snapshot(sc: org.apache.spark.SparkContext): (Double, Double) = {
+    org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
+    (cpuSec, taskSec)
+  }
 }
 
 object ScalingBench {
@@ -91,7 +99,7 @@ object ScalingBench {
 
       val root = s"$rootBase/scaling-cpus$cpus-x$replicate"
       Bench.deleteTree(root)
-      val (cpu0, task0) = cpuListener.snapshot
+      val (cpu0, task0) = cpuListener.snapshot(spark.sparkContext)
       val (stats, tBuild) = Bench.time {
         // persistCorpus=false: the input is a stored table — re-scanning 64
         // parquet splits per action is cheap; caching 4.8M docs of content
@@ -100,12 +108,12 @@ object ScalingBench {
         IndexBuilder.build(spark, stored, IndexPaths(root), buildArgs = s"scaling x$replicate",
           persistCorpus = false)
       }
-      val (cpu1, task1) = cpuListener.snapshot
+      val (cpu1, task1) = cpuListener.snapshot(spark.sparkContext)
       System.err.println(s"[scaling] build done in $tBuild s (cpu ${cpu1 - cpu0} s)")
       val (_, tWand) = Bench.time {
         Wand.topKAt(spark, IndexPaths(root), QuerySet.all).count()
       }
-      val (cpu2, task2) = cpuListener.snapshot
+      val (cpu2, task2) = cpuListener.snapshot(spark.sparkContext)
       val util = (cpu1 - cpu0) / (tBuild * cpus)
       println(s"""{"metric":"scaling","cpus":$cpus,"replicate":$replicate,""" +
         s""""build_sec":$tBuild,"docs_per_sec":${stats.nDocs / tBuild},""" +

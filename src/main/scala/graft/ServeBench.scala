@@ -46,6 +46,9 @@ object ServeBench {
       (0 until threads).foreach { ti =>
         new Thread(() => {
           try {
+            // one scheduler pool PER CLIENT: fair mode round-robins BETWEEN
+            // pools — all jobs in one pool would still queue FIFO
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$ti")
             start.await()
             var i = 0
             while (i < reqPerThread) {

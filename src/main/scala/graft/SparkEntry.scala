@@ -53,9 +53,7 @@ object SparkEntry {
     val (basePaths, outPaths) = incrPaths(dir)
     if (replay || graft.index.Snapshots.read(outPaths.root).isEmpty) {
       val full = Corpus.corpus(s, dir)
-      val base = Corpus.withDocId(full)
-        .filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
-        .select("repo", "path", "commit", "lang", "content")
+      val base = Corpus.baseSlice(full)
       if (!graft.index.IndexBuilder.isComplete(basePaths))
         graft.index.IndexBuilder.build(s, base, basePaths, buildArgs = s"incr-base-$dir")
       graft.index.Incremental.addBatch(s, basePaths, full, outPaths)

@@ -91,4 +91,13 @@ object Corpus {
     */
   def withDocId(c: DataFrame): DataFrame =
     c.withColumn("doc_id", xxhash64(concat_ws(" ", col("repo"), col("path"), col("commit"))))
+
+  /** The deterministic ~80% doc-hash slice used as the BASE of every
+    * incremental fixture (Verify entries, LsmBench): one definition so the
+    * correctness fixtures and the benchmarks can never silently diverge.
+    */
+  def baseSlice(full: DataFrame): DataFrame =
+    withDocId(full)
+      .filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
+      .select("repo", "path", "commit", "lang", "content")
 }

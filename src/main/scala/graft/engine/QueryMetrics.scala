@@ -11,10 +11,18 @@ import org.apache.spark.util.LongAccumulator
   * server sees them as named accumulators per stage.
   *
   *  - `candidates`: docs fully scored (WAND pivot evaluations)
-  *  - `blocksDecoded`: posting blocks decompressed by THIS query (0 on a
-  *    cache-warm rerun — the block-cache hit-rate signal)
+  *  - `blocksDecoded`: posting blocks decompressed INTO THE SHARED
+  *    executor cache during this run (0 on a cache-warm rerun — the
+  *    block-cache hit-rate signal). Attribution is process-wide: the
+  *    handles live in [[PostingCache]], so when two concurrent queries
+  *    overlap on a term, a block either of them forced may be attributed
+  *    to whichever snapshotted the handle around its decode — the SUM
+  *    across queries still equals total decode work, which is what the
+  *    hit-rate signal needs; per-query attribution of a shared decode is
+  *    inherently ambiguous (it happens once for both).
   *  - `blockSkips`: BMW window-skip events (blocks bounded below the heap
-  *    threshold and never decompressed — the WAND effectiveness signal)
+  *    threshold and never decompressed — the WAND effectiveness signal);
+  *    per-query exact (counted inside the run's own cursors).
   */
 final case class QueryMetrics(
     candidates: LongAccumulator,

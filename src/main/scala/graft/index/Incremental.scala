@@ -52,12 +52,7 @@ object Incremental {
       basePaths: IndexPaths,
       newCorpus: DataFrame,
       outPaths: IndexPaths): IndexStats = {
-    def phase[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val a = f
-      System.err.println(f"[add] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      a
-    }
+    def phase[A](name: String)(f: => A): A = IndexBuilder.phase(name, tag = "add")(f)
     // a snapshot is only ever published on completion, so its presence is
     // the completeness watermark for layered roots (delta outputs have no
     // salt manifests of their own); legacy single-layer roots fall back to
@@ -67,8 +62,20 @@ object Incremental {
       Snapshot(1, Seq(basePaths.indexDir), Seq(basePaths.docsDir),
         Seq(basePaths.segmentsDir), Seq(basePaths.statsPath), basePaths.statsPath, None)
     }
+    // fail fast on a pre-v4 or malformed base BEFORE any expensive phase:
+    // a snapshot without aligned per-layer segments/stats would merge fine
+    // but publish a root no reader can ever open
+    if (baseLayers.segmentsDirs.size != baseLayers.indexDirs.size ||
+        baseLayers.statsPaths.size != baseLayers.indexDirs.size)
+      throw new IllegalStateException(
+        s"addBatch: base snapshot v${baseLayers.version} at ${basePaths.root} lacks aligned " +
+          s"per-layer segments/stats (pre-v${IndexBuilder.FormatVersion} metadata?) — rebuild the base")
     val baseStats = IndexBuilder.readStatsFile(baseLayers.statsPath).getOrElse(
       throw new IllegalStateException(s"missing stats at ${baseLayers.statsPath}"))
+    if (baseStats.version != IndexBuilder.FormatVersion)
+      throw new IllegalStateException(
+        s"addBatch: base at ${basePaths.root} has format v${baseStats.version}, " +
+          s"need v${IndexBuilder.FormatVersion} — rebuild the base")
 
     val baseDocs = baseLayers.docsDirs
       .map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
@@ -178,8 +185,14 @@ object Incremental {
     // persist stats + the layered snapshot: the merged table is openable
     // from outPaths alone.
     IndexBuilder.writeStatsJson(outPaths.statsPath, newStats, s"incremental over ${basePaths.root}")
+    // version = strictly AFTER both the base chain and anything already
+    // published at the out root: republishing (e.g. replaying an add onto a
+    // root that was since compacted) must never move the hint BACKWARDS to
+    // an older view
+    val outVersion = math.max(baseLayers.version,
+      Snapshots.currentVersion(outPaths.root).getOrElse(0)) + 1
     Snapshots.write(outPaths.root, Snapshot(
-      baseLayers.version + 1,
+      outVersion,
       baseLayers.indexDirs :+ outPaths.indexDir,
       baseLayers.docsDirs :+ outPaths.docsDir,
       baseLayers.segmentsDirs :+ outPaths.segmentsDir,
@@ -235,11 +248,8 @@ object Incremental {
       case Some(r) => (IndexPaths(r), r, 1)
       case None => (IndexPaths(s"$root/compact-v${snap.version + 1}"), root, snap.version + 1)
     }
-    Seq(inner.indexDir, inner.segmentsDir, inner.docsDir, inner.manifestsDir).foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-    }
+    Seq(inner.indexDir, inner.segmentsDir, inner.docsDir, inner.manifestsDir)
+      .foreach(d => IndexBuilder.deleteRecursively(java.nio.file.Paths.get(d)))
 
     // docs union: per-layer docId sets are disjoint (J1), content_sha and
     // dl=0 lineage rows carry over unchanged.

@@ -160,16 +160,16 @@ object IndexBuilder {
     readStats(paths).exists(s => s.version == FormatVersion && s.numSalts == numSalts) &&
       completedSalts(paths) == (0 until numSalts).toSet
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[index] def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
   }
 
-  private def phase[A](name: String)(f: => A): A = {
+  private[index] def phase[A](name: String, tag: String = "build")(f: => A): A = {
     val t0 = System.nanoTime()
     val a = f
-    System.err.println(f"[build] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    System.err.println(f"[$tag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     a
   }
 

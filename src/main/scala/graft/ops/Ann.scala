@@ -172,21 +172,31 @@ object Ann {
     * groups with partial aggregation, no skew risk, no windows.
     */
   def kmeansCentroids(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val m = emb.select(col("vec_id"), microCol(col("embedding")).as("m"))
-    var cents = m.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("m").as("cm"))
+    // Materialize each iteration's centroids to the driver (k × Dim longs —
+    // tiny by construction) and feed the next step a LITERAL relation:
+    // without this, iteration i's lineage references iteration i−1 TWICE
+    // (assign cross-join + the empty-cluster left join) and every
+    // downstream consumer re-runs the whole 2^iters training chain.
+    var cents: Seq[(Long, Seq[Long])] = m.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("m")).as[(Long, Seq[Long])].collect().toSeq
+      .sortBy(_._1)
     for (_ <- 1 to KMeansIters) {
-      val comp = assignM(m, cents)
+      val centsDf = cents.toDF("centroid_id", "cm")
+      val next = assignM(m, centsDf)
         .select(col("centroid_id"), posexplode(col("m")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos")
         .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
-      val next = comp.groupBy("centroid_id")
+        .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("cm2"))
-      cents = cents.join(next, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("cm2"), col("cm")).as("cm"))
+        .as[(Long, Seq[Long])].collect().toMap
+      // an emptied cluster keeps its previous centroid
+      cents = cents.map { case (id, cm) => (id, next.getOrElse(id, cm)) }
     }
-    cents
+    cents.toDF("centroid_id", "cm")
   }
 
   /** IVF top-k with TRAINED centroids: assign every vector to its nearest

@@ -42,12 +42,7 @@ object StreamingOps {
       agg: DataFrame, spark: SparkSession,
       keyCols: Seq[String], valCols: Seq[String]): DataFrame = {
     val dir = s"target/graft-stream/changelog-${ctr.incrementAndGet()}"
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    graft.Bench.deleteTree(dir)
     val q = agg.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -84,8 +79,17 @@ object StreamingOps {
   def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = spark.readStream.schema(EventsSchema)
       .parquet(s"$sfDir/events.parque?") // glob → basePath = the sf dir
+    // Watermark sized for a BACKFILL: AvailableNow over historical files
+    // gives no ordering guarantee across micro-batches, and in Update mode
+    // the watermark genuinely DROPS rows older than (max ts − delay) seen
+    // in earlier batches — a delay shorter than the source's full span
+    // would lose events if the directory ever split into multiple batches
+    // (single-file today, so any shorter delay only passes by accident).
+    // A live deployment sets the delay to the source's real lateness bound,
+    // trading state size for completeness; the batch-equality contract here
+    // pins the completeness end of that trade.
     val agg = stream
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "3650 days")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
     runViaChangelog(agg, spark, Seq("w", "event_type"), Seq("n", "sum_value"))
