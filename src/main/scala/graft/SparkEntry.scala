@@ -183,6 +183,13 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => graft.ops.Ann.ivfTopK(graft.ops.Ann.embeddings(s, dir))),
     "mm_binary_meta" -> ((s, dir) => graft.ops.Multimodal.decodeFeatures(s, dir)),
 
+    // REAL image decode: payloads are genuine binary PGM (P5) images built
+    // from the document bytes; the engine PARSES the byte-level header +
+    // pixel plane (no codec libs — netpbm is pure byte arithmetic), while
+    // the oracle derives the expected features from the CONSTRUCTION
+    // without parsing, so a parser bug cannot self-verify.
+    "mm_pgm_decode" -> ((s, dir) => graft.ops.Multimodal.decodePgmFeatures(s, dir)),
+
     // J1+J2: build on 80% of the corpus, then incrementally add the full
     // corpus — anti-join keeps only the new 20%, sort-merge full_outer join
     // merges ONLY delta-term postings into a delta layer (untouched base
@@ -396,6 +403,7 @@ object SparkEntry {
     "ann_topk_brute" -> graft.ops.OpsOracleSql.bruteTopK,
     "ann_ivf_topk" -> graft.ops.OpsOracleSql.ivfTopK,
     "mm_binary_meta" -> graft.ops.OpsOracleSql.mmBinaryMeta,
+    "mm_pgm_decode" -> graft.ops.OpsOracleSql.mmPgmDecode,
 
     // incremental result == single-shot full index == the tf aggregate
     "index_incremental" ->

@@ -322,6 +322,37 @@ object OpsOracleSql {
        #ORDER BY query_id, rank""".stripMargin('#')
   }
 
+  /** Mirrors [[Multimodal.decodePgmFeatures]] from the image CONSTRUCTION
+    * (w=[[Multimodal.PgmWidth]], space-padded final row): the oracle never
+    * parses the binary, so it independently checks the engine's real
+    * byte-level PGM parser. `ascii()` per char == byte (documents text is
+    * pure ASCII by construction).
+    */
+  val mmPgmDecode: String = {
+    val w = Multimodal.PgmWidth
+    val pad = Multimodal.PgmPad
+    s"""WITH m AS MATERIALIZED (
+       #  SELECT doc_id, length(text) AS len,
+       #         list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1))) AS bytes
+       #  FROM documents
+       #),
+       #g AS MATERIALIZED (
+       #  SELECT doc_id, len,
+       #         CAST(greatest(1, floor((len + ${w - 1}) / $w.0)) AS BIGINT) AS h,
+       #         coalesce(list_sum(bytes), 0) AS sumb,
+       #         list_min(bytes) AS mnb, list_max(bytes) AS mxb
+       #  FROM m
+       #)
+       #SELECT doc_id,
+       #       CAST($w AS INTEGER) AS width,
+       #       CAST(h AS INTEGER) AS height,
+       #       CAST(CASE WHEN $w*h > len THEN least(coalesce(mnb, $pad), $pad) ELSE mnb END AS INTEGER) AS min_gray,
+       #       CAST(CASE WHEN $w*h > len THEN greatest(coalesce(mxb, $pad), $pad) ELSE mxb END AS INTEGER) AS max_gray,
+       #       ${q(s"CAST(sumb + ($w*h - len) * $pad AS DOUBLE) / ($w*h)")} AS mean_gray_r,
+       #       'pgm-v1' AS decoder
+       #FROM g ORDER BY doc_id""".stripMargin('#')
+  }
+
   val mmBinaryMeta: String =
     s"""SELECT doc_id,
        #       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
