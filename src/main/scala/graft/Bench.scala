@@ -20,11 +20,8 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
-  def deleteTree(p: String): Unit = {
-    val path = Paths.get(p)
-    if (Files.exists(path))
-      Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
+  def deleteTree(p: String): Unit =
+    IndexBuilder.deleteRecursively(Paths.get(p))
 
   def percentile(xs: Seq[Double], p: Double): Double = {
     val s = xs.sorted

@@ -71,7 +71,7 @@ object ServeBench {
       import scala.jdk.CollectionConverters._
       val xs = lat.asScala.toSeq
       val qps = xs.size / wall
-      println(s"""{"metric":"serve","threads":$threads,"requests":${xs.size},""" +
+      println(s"""{"metric":"serve","sched":"FAIR+pool-per-client","threads":$threads,"requests":${xs.size},""" +
         s""""wall_sec":$wall,"qps":$qps,""" +
         s""""lat_p50":${Bench.percentile(xs, 0.5)},"lat_p99":${Bench.percentile(xs, 0.99)},""" +
         s""""cpus":${Config.cpus},"sf":"$sfDir"}""")

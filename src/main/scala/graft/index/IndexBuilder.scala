@@ -160,7 +160,11 @@ object IndexBuilder {
     readStats(paths).exists(s => s.version == FormatVersion && s.numSalts == numSalts) &&
       completedSalts(paths) == (0 until numSalts).toSet
 
-  private[index] def deleteRecursively(p: Path): Unit = {
+  /** The ONE recursive-delete helper — Bench.deleteTree and the streaming
+    * changelog cleanup delegate here (single source of truth for
+    * filesystem deletion semantics).
+    */
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

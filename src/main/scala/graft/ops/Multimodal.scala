@@ -102,11 +102,14 @@ object Multimodal {
     }
     if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
     i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     (readInt(), readInt(), readInt()) match {
       case (Some(w), Some(h), Some(maxval))
-          if w > 0 && h > 0 && maxval == 255 && !eof =>
-        i += 1 // the single whitespace byte after maxval
-        if (b.length - i == w * h)
+          if w > 0 && h > 0 && maxval == 255 && !eof && isWs(b(i)) =>
+        i += 1 // the single (verified) whitespace byte after maxval
+        // Long arithmetic: Int w*h could wrap (e.g. 65536×65536 → 0) and
+        // accept an absurd-dimension header against an empty pixel plane
+        if ((b.length - i).toLong == w.toLong * h.toLong)
           Some((w, h, java.util.Arrays.copyOfRange(b, i, b.length)))
         else None
       case _ => None

@@ -8,7 +8,16 @@ package org.apache.spark
   * Package-placed like [[org.apache.spark.sql.GraftColumnBridge]].
   */
 object GraftSparkBridge {
-  /** Block until all queued listener events are dispatched (or timeout). */
+  /** Block until all queued listener events are dispatched. Best-effort: a
+    * bus still busy after the timeout logs a warning and falls back to the
+    * undrained counters (losing a tail of task-end events must never abort
+    * a bench run whose measured work already completed —
+    * `waitUntilEmpty` THROWS TimeoutException on a backlog).
+    */
   def drainListenerBus(sc: SparkContext, timeoutMs: Long = 10000L): Unit =
-    sc.listenerBus.waitUntilEmpty(timeoutMs)
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[graft] listener bus not drained after $timeoutMs ms — counters may undercount")
+    }
 }

@@ -27,6 +27,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parsePgm("P5\n2 2\n255\n".getBytes ++ px ++ Array(1.toByte)).isEmpty) // trailing
     assert(Multimodal.parsePgm("P5\n0 2\n255\n".getBytes).isEmpty) // zero dim
     assert(Multimodal.parsePgm("P5\nx 2\n255\n".getBytes ++ px).isEmpty) // non-numeric
+    // Int-overflow dims: 65536×65536 wraps to 0 in Int — must not match an
+    // empty pixel plane
+    assert(Multimodal.parsePgm("P5\n65536 65536\n255\n".getBytes).isEmpty)
+    // corrupted separator after maxval (0xFF where whitespace is mandatory)
+    assert(Multimodal.parsePgm("P5\n2 2\n255".getBytes ++ Array(0xff.toByte) ++ px).isEmpty)
   }
 
   test("multi-digit dims and whitespace variants parse") {
