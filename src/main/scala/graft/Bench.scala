@@ -1,10 +1,11 @@
 package graft
 
 import graft.corpus.Corpus
-import graft.engine.{IndexSearch, NaiveSearch, Wand}
+import graft.engine.{IndexSearch, NaiveSearch, QueryMetrics, SearchApi, Wand}
 import graft.index.{IndexBuilder, IndexPaths}
 import graft.queries.QuerySet
-import java.nio.file.{Files, Paths}
+import java.lang.management.ManagementFactory
+import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
@@ -14,9 +15,24 @@ import scala.jdk.CollectionConverters._
   * Components (all seconds):
   *  - index_build_full:   cold corpus → segments → merge → stats
   *  - bm25_naive_set:     full-scoring query set (no index)
-  *  - query_index_p50/p99, query_wand_p50/p99: per-query latency over the
-  *    reference query set against the cached index
-  * Plus informational extras: docs_per_sec, n_docs.
+  *  - query_serve_p50/p99: THE HEADLINE SERVING PAIR — per-query latency of
+  *    [[SearchApi.search]] (validation + block-max WAND + collect), i.e.
+  *    what a request to the engine actually pays.
+  *  - query_wand_p50/p99: same samples (the OR serving path IS WAND) —
+  *    kept for round-over-round comparability.
+  *  - query_index_p50/p99: the full-materialization index path. This is the
+  *    ORACLE path (rank-identity cross-check vs DuckDB), not the serving
+  *    path — it decodes each query term's whole posting list into rows, so
+  *    its hot-term latency is postings-bound by design; reported as a
+  *    labeled diagnostic, not a serving claim.
+  *
+  * Per-sample evidence (round-3 finding: the driver-run p99 was 10–50×
+  * the repo-run p99 and a single aggregated percentile could not attribute
+  * it): every latency sample appends one JSON line to
+  * `bench/samples_<sf>_cpus<n>.jsonl` with wall, GC-time/GC-count deltas,
+  * process-CPU delta, heap in use, and the WAND counters — so a 100×
+  * outlier is attributable (GC pause? CPU starvation by a co-tenant host
+  * process? cache eviction?) instead of debatable.
   */
 object Bench {
 
@@ -34,10 +50,74 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  def run(spark: SparkSession, sfDir: String, indexRoot: String): (Map[String, Double], Map[String, Double]) = {
+  // ---------- per-sample meters ----------
+
+  private def gcTotals(): (Long, Long) = {
+    var ms = 0L; var n = 0L
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.foreach { b =>
+      val t = b.getCollectionTime; val c = b.getCollectionCount
+      if (t > 0) ms += t
+      if (c > 0) n += c
+    }
+    (ms, n)
+  }
+
+  private def processCpuMs(): Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+
+  private def heapUsedMb(): Long =
+    ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
+
+  /** Appends one JSON object per latency sample to the samples file. */
+  private final class SampleLog(path: java.nio.file.Path, t0Nanos: Long) {
+    Files.createDirectories(path.getParent)
+    Files.deleteIfExists(path)
+    private val w = Files.newBufferedWriter(path, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+    /** Times `f`, metering GC/CPU/heap around it plus the accumulator
+      * deltas of `m` (if given); returns the wall seconds.
+      */
+    def sample(pathName: String, rep: Int, queryId: String, m: Option[QueryMetrics])(f: => Unit): Double = {
+      val (gcMs0, gcN0) = gcTotals()
+      val cpu0 = processCpuMs()
+      val acc0 = m.map(x => (x.candidates.value, x.blocksDecoded.value, x.blockSkips.value))
+      val tOff = (System.nanoTime() - t0Nanos) / 1e9
+      val (_, wall) = time(f)
+      val (gcMs1, gcN1) = gcTotals()
+      val cpu1 = processCpuMs()
+      val counters = (m, acc0) match {
+        case (Some(x), Some((c0, b0, s0))) =>
+          s""","candidates":${x.candidates.value - c0},"blocks_decoded":${x.blocksDecoded.value - b0},"block_skips":${x.blockSkips.value - s0}"""
+        case _ => ""
+      }
+      w.write(
+        s"""{"path":"$pathName","rep":$rep,"query":"$queryId","t_off_s":${f"$tOff%.3f"},""" +
+          s""""wall_s":${f"$wall%.6f"},"gc_ms":${gcMs1 - gcMs0},"gc_n":${gcN1 - gcN0},""" +
+          s""""proc_cpu_ms":${cpu1 - cpu0},"heap_mb":${heapUsedMb()}$counters}""")
+      w.newLine(); w.flush()
+      wall
+    }
+
+    def note(kind: String, detail: String): Unit = {
+      val tOff = (System.nanoTime() - t0Nanos) / 1e9
+      w.write(s"""{"path":"note","kind":"$kind","t_off_s":${f"$tOff%.3f"},$detail}""")
+      w.newLine(); w.flush()
+    }
+
+    def close(): Unit = w.close()
+  }
+
+  def run(spark: SparkSession, sfDir: String, indexRoot: String): (Map[String, Double], Map[String, Double], String) = {
     val sfName = Paths.get(sfDir).getFileName.toString
     val paths = IndexPaths(indexRoot)
     deleteTree(indexRoot)
+    val t0Nanos = System.nanoTime()
+    val cpusUsed = spark.sparkContext.defaultParallelism
+    val samplesPath = Paths.get(s"bench/samples_${sfName}_cpus$cpusUsed.jsonl")
+    val log = new SampleLog(samplesPath, t0Nanos)
 
     // executor CPU time per phase: utilization = cpu/(wall×cores) is the
     // steal/disk-burst-immune signal (see BASELINE.md scaling analysis)
@@ -58,6 +138,14 @@ object Bench {
     }
     System.err.println(s"[bench] naive set done in $tNaive s")
 
+    // Build + naive leave a heap full of garbage (posting buffers, shuffle
+    // blocks). One explicit full GC here separates "build garbage collected
+    // during the latency loop" (fixable hygiene, this line) from "GC caused
+    // by the queries themselves" (a real serving cost, visible per sample).
+    val (_, tGcFence) = time(System.gc())
+    log.note("gc_fence", s""""after":"build+naive","wall_s":${f"$tGcFence%.3f"},"heap_mb":${heapUsedMb()}""")
+    System.err.println(s"[bench] post-build GC fence: $tGcFence s")
+
     // warm the index reader once, then per-query latencies. reps=10 over
     // the 10-query set = 100 samples per path, so the reported p99 is the
     // 99th percentile (2nd-worst sample), not the max (round-2 finding:
@@ -65,43 +153,61 @@ object Bench {
     val (_, tWarm) = time(IndexSearch.topKAt(spark, paths, QuerySet.df(spark)).count())
     System.err.println(s"[bench] index warm set done in $tWarm s")
     val reps = Config.benchReps
-    val indexLat = for { _ <- 1 to reps; q <- QuerySet.all } yield {
+    val indexLat = for { rep <- 1 to reps; q <- QuerySet.all } yield {
       import spark.implicits._
       val qdf = Seq(q).flatMap(x => x.terms.map(t => (x.queryId, t, x.k)))
         .toDF("query_id", "term", "k")
-      time(IndexSearch.topKAt(spark, paths, qdf).count())._2
+      log.sample("index", rep, q.queryId, None)(IndexSearch.topKAt(spark, paths, qdf).count(): Unit)
     }
-    System.err.println(s"[bench] index per-query done: ${indexLat.sum} s total")
+    System.err.println(s"[bench] index (oracle path) per-query done: ${indexLat.sum} s total")
+
+    // THE SERVING PATH: SearchApi.search == validation + block-max WAND +
+    // collect — the latency a request actually pays. Counters (candidates /
+    // blocks decoded / skips) are metered per sample.
+    val m = QueryMetrics(spark)
     Wand.topKAt(spark, paths, QuerySet.all).count() // warm the segment cache
-    val wandLat = for { _ <- 1 to reps; q <- QuerySet.all } yield
-      time(Wand.topKAt(spark, paths, Seq(q)).count())._2
-    System.err.println(s"[bench] wand per-query done: ${wandLat.sum} s total")
+    val serveLat = for { rep <- 1 to reps; q <- QuerySet.all } yield
+      log.sample("serve", rep, q.queryId, Some(m))(
+        SearchApi.search(spark, paths, q.terms, q.k, conjunctive = false, Some(m)).collect(): Unit)
+    System.err.println(s"[bench] serve (WAND) per-query done: ${serveLat.sum} s total")
+    log.close()
+
+    def stat(name: String, xs: Seq[Double]): Seq[(String, Double)] = Seq(
+      s"${name}_mean" -> xs.sum / xs.size,
+      s"${name}_max" -> xs.max)
 
     val queries = Map(
       "index_build_full" -> tBuild,
       "bm25_naive_set" -> tNaive,
+      "query_serve_p50" -> percentile(serveLat, 0.5),
+      "query_serve_p99" -> percentile(serveLat, 0.99),
+      // same samples: the OR serving path IS WAND (round-over-round key)
+      "query_wand_p50" -> percentile(serveLat, 0.5),
+      "query_wand_p99" -> percentile(serveLat, 0.99),
       "query_index_p50" -> percentile(indexLat, 0.5),
-      "query_index_p99" -> percentile(indexLat, 0.99),
-      "query_wand_p50" -> percentile(wandLat, 0.5),
-      "query_wand_p99" -> percentile(wandLat, 0.99))
+      "query_index_p99" -> percentile(indexLat, 0.99))
     val extras = Map(
       "docs_per_sec" -> stats.nDocs / tBuild,
       "n_docs" -> stats.nDocs.toDouble,
       "query_samples_per_path" -> (reps * QuerySet.all.size).toDouble,
       "build_cpu_sec" -> buildCpu,
-      "build_cpu_util" -> buildCpu / (tBuild * cores))
-    (queries, extras)
+      "build_cpu_util" -> buildCpu / (tBuild * cores),
+      "gc_fence_sec" -> tGcFence) ++
+      stat("query_serve", serveLat) ++ stat("query_index", indexLat)
+    (queries, extras, samplesPath.toString)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = Config.sfDir
     val cpus = Config.cpus
     val spark = Config.session()
-    val (queries, extras) = run(spark, sfDir, s"target/graft-index/bench-cpus$cpus")
+    val (queries, extras, samplesFile) = run(spark, sfDir, s"target/graft-index/bench-cpus$cpus")
     val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val ex = extras.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    val total = queries.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$ex,"cpus":$cpus,"sf":"$sfDir"}""")
+    // query_wand_* are aliases of query_serve_* (same sample set) — count
+    // each distinct measurement once in the headline total
+    val total = (queries - "query_wand_p50" - "query_wand_p99").values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$ex,"samples_file":"$samplesFile","cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,6 +152,16 @@ object SparkEntry {
     "bm25_wand_topk" -> ((s, dir) =>
       graft.engine.Wand.topK(s, dir, QuerySet.all)),
 
+    // Query-scoped search (the reference's allow_external_links analog,
+    // README.md:41): the same WAND serving path restricted to a 3-repo
+    // scope — the scope predicate reaches the WAND candidate filter, so
+    // the result is the scope's own top-k (oracle mirrors the predicate
+    // inside its scored CTE).
+    "bm25_scoped_topk" -> ((s, dir) => {
+      val (paths, _) = graft.index.IndexBuilder.ensure(s, dir)
+      graft.engine.Wand.topKAt(s, paths, QuerySet.all, repoScope = Some(QuerySet.scopeRepos))
+    }),
+
     // J6/F10: per-row invariant — the sha256 captured in the docs sidecar at
     // index time equals the sha256 recomputed from the source table at query
     // time, for every top-k hit (BASELINE.json input_hint).
@@ -239,6 +249,11 @@ object SparkEntry {
       }
       val snap = graft.index.Snapshots.read(r2.root).get
       require(snap.indexDirs.size == 3, s"chain must be 3 layers, got ${snap.indexDirs.size}")
+      // per-doc ingest provenance (v5): the 3-layer root's docs union must
+      // carry one distinct batch_id per ingest batch (StartUrl analog)
+      val batchIds = graft.index.Incremental.readMergedDocs(s, r2.root)
+        .select("batch_id").distinct().collect().map(_.getString(0)).toSet
+      require(batchIds.size == 3, s"chain docs must carry 3 distinct batch ids, got $batchIds")
       decodeRecount(s, graft.index.Incremental.readMergedIndex(s, r2.root))
     }),
 
@@ -309,6 +324,14 @@ object SparkEntry {
     // + exact-cosine verify (the all-pairs embed_cosine_pairs stays as the
     // tiny-sf oracle cross-check only).
     "embed_cosine_lsh" -> ((s, dir) => graft.ops.Ann.cosineLshPairs(graft.ops.Ann.embeddings(s, dir))),
+
+    // The reference's defining query shape: depth-bounded recursive graph
+    // expansion with cycle guard (`@recurse(depth: D+1, loop: false)`,
+    // dgraph.go:66-75) + bidirectional path finding over the reversed edge
+    // set (`@reverse`, dgraph.go:45, README.md:8). BFS = driver-bounded
+    // iterative hash-joins with a visited anti-join; oracle = DuckDB
+    // recursive CTE with min(depth).
+    "graph_reach_bfs" -> ((s, dir) => graft.ops.Graph.reachBfs(s, Corpus.corpus(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,6 +380,8 @@ object SparkEntry {
 
     "bm25_wand_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
 
+    "bm25_scoped_topk" -> OracleSql.bm25TopK(QuerySet.duckValues, Some(QuerySet.scopeRepos)),
+
     // nested result assembly: DuckDB 1.0 to_json(list(struct_pack ORDER BY
     // rank)) emits the byte-identical compact JSON as Spark's
     // to_json(sort_array(collect_list(struct))) — verified format parity.
@@ -383,6 +408,9 @@ object SparkEntry {
          #FROM corpus GROUP BY lang, pass ORDER BY lang, pass""".stripMargin('#'),
 
     "embed_cosine_lsh" -> graft.ops.OpsOracleSql.cosineLsh,
+
+    "graph_reach_bfs" -> OracleSql.graphReachBfs(
+      maxDepth = 3, graft.ops.Graph.RootRepos, graft.ops.Graph.CustModulus),
 
     // DuckDB recomputes hit counts per query from the same ranked CTE; the
     // Spark side's n_sha_match is a REAL recomputation (stored-at-index-time

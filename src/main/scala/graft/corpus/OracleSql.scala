@@ -75,11 +75,17 @@ object OracleSql {
     * [[graft.score.BM25]]. Rank ties broken by (repo, path, commit) — both
     * engines compare ASCII strings bytewise, so the order is identical.
     */
-  def bm25TopK(queryValuesSql: String): String = {
+  def bm25TopK(queryValuesSql: String, scopeRepos: Option[Seq[String]] = None): String = {
     val k1 = graft.score.BM25.K1
     val k1p1 = graft.score.BM25.K1Plus1
     val oneMinusB = graft.score.BM25.OneMinusB
     val b = graft.score.BM25.B
+    // query-scoped corpus restriction: the predicate sits INSIDE scored,
+    // before ranking, mirroring the engine's scoped WAND/docs-join filter
+    // (idf/avgdl stay corpus-global on both sides — scoping restricts the
+    // candidate set, not the collection statistics)
+    val scopeSql = scopeRepos.fold("")(rs =>
+      rs.map(r => s"'$r'").mkString("  WHERE t.repo IN (", ", ", ")\n"))
     s"""WITH $corpusCte,
        #$tokenCtes,
        #queries(query_id, term, k) AS (VALUES $queryValuesSql),
@@ -95,7 +101,7 @@ object OracleSql {
        #  JOIN dfreq d ON d.term = q.term
        #  JOIN doclen l ON l.repo = t.repo AND l.path = t.path AND l.commit = t.commit
        #  CROSS JOIN stats s
-       #  GROUP BY q.query_id, q.k, t.repo, t.path, t.commit
+       #$scopeSql  GROUP BY q.query_id, q.k, t.repo, t.path, t.commit
        #),
        #ranked AS MATERIALIZED (
        #  SELECT query_id, k, repo, path, commit, ${quant("score")} AS score_r,
@@ -107,6 +113,53 @@ object OracleSql {
        #SELECT query_id, rank, repo, path, commit, score_r
        #FROM ranked WHERE rank <= k
        #ORDER BY query_id, rank""".stripMargin('#')
+  }
+
+  /** Bidirectional depth-bounded BFS over the content-derived link relation
+    * — mirrors [[graft.ops.Graph.reachBfs]] with a recursive CTE (`UNION`
+    * dedup = the cycle guard; `min(depth)` = BFS first-discovery depth; the
+    * depth predicate = the reference's `@recurse(depth: D)` bound).
+    * Non-recursive CTEs stay MATERIALIZED (DuckDB inlining rule, class doc);
+    * the recursive members cannot be.
+    */
+  def graphReachBfs(maxDepth: Int, rootRepos: Seq[String], custModulus: Int): String = {
+    val reposIn = rootRepos.map(r => s"'$r'").mkString(", ")
+    s"""WITH RECURSIVE $corpusCte,
+       #nodes AS MATERIALIZED (
+       #  SELECT repo, path, CAST(regexp_extract(content, 'cust_([0-9]+)', 1) AS INTEGER) AS cust
+       #  FROM corpus
+       #),
+       #canon AS MATERIALIZED (
+       #  SELECT repo, cust, min(path) AS path FROM nodes GROUP BY repo, cust
+       #),
+       #edges AS MATERIALIZED (
+       #  SELECT n.repo, n.path AS src_path, c.path AS dst_path
+       #  FROM nodes n JOIN canon c ON c.repo = n.repo AND c.cust = (n.cust + 1) % $custModulus
+       #),
+       #roots AS MATERIALIZED (
+       #  SELECT repo, path FROM canon WHERE cust = 0 AND repo IN ($reposIn)
+       #),
+       #fwd(root_repo, root_path, path, depth) AS (
+       #  SELECT repo, path, path, 0 FROM roots
+       #  UNION
+       #  SELECT f.root_repo, f.root_path, e.dst_path, f.depth + 1
+       #  FROM fwd f JOIN edges e ON e.repo = f.root_repo AND e.src_path = f.path
+       #  WHERE f.depth < $maxDepth
+       #),
+       #rev(root_repo, root_path, path, depth) AS (
+       #  SELECT repo, path, path, 0 FROM roots
+       #  UNION
+       #  SELECT r.root_repo, r.root_path, e.src_path, r.depth + 1
+       #  FROM rev r JOIN edges e ON e.repo = r.root_repo AND e.dst_path = r.path
+       #  WHERE r.depth < $maxDepth
+       #)
+       #SELECT direction, root_repo, root_path, path, CAST(min(depth) AS INTEGER) AS depth FROM (
+       #  SELECT 'out' AS direction, * FROM fwd
+       #  UNION ALL
+       #  SELECT 'in' AS direction, * FROM rev
+       #) both_dirs
+       #GROUP BY direction, root_repo, root_path, path
+       #ORDER BY direction, root_repo, root_path, path""".stripMargin('#')
   }
 
   /** Conjunctive (AND) BM25 top-k — same scoring, but a doc qualifies only

@@ -25,8 +25,14 @@ object IndexSearch {
     topKAt(spark, paths, queries)
   }
 
-  /** Same, against an already-built (complete) index. */
-  def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, queries: DataFrame): DataFrame = {
+  /** Same, against an already-built (complete) index. `repoScope` restricts
+    * scoring to docs of the given repos (the reference's
+    * `allow_external_links`-style query-time filter, README.md:41): the
+    * predicate lands on the docs-sidecar side of the join BEFORE the
+    * ranking tail, so the emitted top-k is the scope's own top-k.
+    */
+  def topKAt(spark: SparkSession, paths: graft.index.IndexPaths, queries: DataFrame,
+      repoScope: Option[Seq[String]] = None): DataFrame = {
     val reader = IndexReader.get(spark, paths)
     val stats = reader.stats
     val scored = decodedForQueries(spark, reader, queries)
@@ -34,8 +40,16 @@ object IndexSearch {
       .groupBy("query_id", "k", "doc_id")
       .agg(sum(BM25.score(col("tf"), col("df"), col("dl"),
         lit(stats.nDocs), lit(stats.avgdl))).as("score"))
-    val docs = reader.docs.select("doc_id", "repo", "path", "commit")
+    val docs = scopedDocs(reader, repoScope)
     NaiveSearch.rankByKeys(scored.join(docs, "doc_id"))
+  }
+
+  /** Docs-sidecar key columns, optionally repo-scoped (scoping BEFORE the
+    * rank tail — the inner join drops out-of-scope docs pre-ranking).
+    */
+  private def scopedDocs(reader: IndexReader, repoScope: Option[Seq[String]]): DataFrame = {
+    val base = reader.docs.select("doc_id", "repo", "path", "commit")
+    repoScope.fold(base)(rs => base.filter(col("repo").isin(rs.distinct: _*)))
   }
 
   /** Conjunctive (AND) top-k — SURVEY.md §2.7 posting-list intersection,
@@ -45,7 +59,8 @@ object IndexSearch {
     * contributes one row, so `count(*) == n_terms` ⇔ all terms present.
     * Queries DataFrame carries (query_id, term, k, n_terms).
     */
-  def topKAndAt(spark: SparkSession, paths: graft.index.IndexPaths, queries: DataFrame): DataFrame = {
+  def topKAndAt(spark: SparkSession, paths: graft.index.IndexPaths, queries: DataFrame,
+      repoScope: Option[Seq[String]] = None): DataFrame = {
     val reader = IndexReader.get(spark, paths)
     val stats = reader.stats
     val scored = decodedForQueries(spark, reader, queries)
@@ -55,7 +70,7 @@ object IndexSearch {
         lit(stats.nDocs), lit(stats.avgdl))).as("score"),
         count(lit(1)).as("n_matched"))
       .filter(col("n_matched") === col("n_terms"))
-    val docs = reader.docs.select("doc_id", "repo", "path", "commit")
+    val docs = scopedDocs(reader, repoScope)
     NaiveSearch.rankByKeys(scored.join(docs, "doc_id"))
   }
 

@@ -33,8 +33,17 @@ object PostingCache {
 
   private val NumStripes = 16
 
+  /** Postings held across ALL stripes — the eviction budget is global, not
+    * per-stripe: a hot-term set that happens to hash into one stripe may
+    * fill it to the whole [[maxPostings]] budget while other stripes sit
+    * empty, instead of thrashing at 1/16 of it (round-3 advice). Each
+    * stripe still evicts only under its own lock (within the accessed
+    * stripe), so the striping's contention win is unchanged; the global
+    * total is a lock-free atomic.
+    */
+  private val totalHeld = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private final class Stripe {
-    var held: Long = 0L
     val lru = new JLinkedHashMap[String, Postings.PostingsBlocks](128, 0.75f, true)
   }
 
@@ -54,16 +63,19 @@ object PostingCache {
     }
     // directory parse outside the lock (block decode itself is lazy)
     val blocks = Postings.PostingsBlocks.fromEncoded(count, postings, dls, blockDir)
-    val budget = math.max(1L, maxPostings / NumStripes)
     s.synchronized {
       val race = s.lru.get(key)
       if (race != null) return race
       s.lru.put(key, blocks)
-      s.held += blocks.count
+      totalHeld.addAndGet(blocks.count)
+      // evict within THIS stripe while the GLOBAL total is over budget; if
+      // the stripe drains first, the remaining excess is evicted by whichever
+      // over-full stripe is accessed next (total bound is eventually enforced,
+      // and a lone hot stripe may legitimately hold the whole budget)
       val it = s.lru.entrySet().iterator()
-      while (s.held > budget && it.hasNext) {
+      while (totalHeld.get() > maxPostings && it.hasNext) {
         val e = it.next()
-        if (e.getKey != key) { s.held -= e.getValue.count; it.remove() }
+        if (e.getKey != key) { totalHeld.addAndGet(-e.getValue.count); it.remove() }
       }
       blocks
     }
@@ -77,7 +89,7 @@ object PostingCache {
       val it = s.lru.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.startsWith(rootPrefix)) { s.held -= e.getValue.count; it.remove() }
+        if (e.getKey.startsWith(rootPrefix)) { totalHeld.addAndGet(-e.getValue.count); it.remove() }
       }
     }
   }

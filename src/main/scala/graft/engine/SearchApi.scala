@@ -30,28 +30,38 @@ object SearchApi {
     * block-lazy decode + heap-threshold skipping instead of full posting
     * materialization).
     */
+  /** `repoScope`: query-time corpus restriction to the given repos — the
+    * engine analog of the reference's `allow_external_links` query scoping
+    * (`README.md:41`, external-host links excluded at query time). The
+    * predicate reaches the WAND candidate filter (OR path) / the docs join
+    * ahead of the ranking tail (AND path), so results are the scope's own
+    * top-k, not a post-filtered global one. An empty scope list is a 400.
+    */
   def search(
       spark: SparkSession,
       paths: IndexPaths,
       terms: Seq[String],
       k: Int,
       conjunctive: Boolean = false,
-      metrics: Option[QueryMetrics] = None): DataFrame = {
+      metrics: Option[QueryMetrics] = None,
+      repoScope: Option[Seq[String]] = None): DataFrame = {
     if (terms == null || terms.isEmpty)
       throw new IllegalArgumentException("search: empty term list (400 analog: http_test.go:117-129)")
     if (terms.exists(t => t == null || t.trim.isEmpty))
       throw new IllegalArgumentException("search: blank term (400 analog)")
     if (k <= 0)
       throw new IllegalArgumentException(s"search: k must be >= 1, got $k (400 analog: http_test.go:131-141)")
+    if (repoScope.exists(_.isEmpty))
+      throw new IllegalArgumentException("search: empty repo scope (400 analog; omit the scope to search all)")
     val kk = math.min(k, MaxK)
     import spark.implicits._
     val distinct = terms.distinct
     if (conjunctive) {
       val q = distinct.map(t => ("adhoc", t, kk, distinct.size))
         .toDF("query_id", "term", "k", "n_terms")
-      IndexSearch.topKAndAt(spark, paths, q)
+      IndexSearch.topKAndAt(spark, paths, q, repoScope)
     } else {
-      Wand.topKAt(spark, paths, Seq(graft.model.Query("adhoc", distinct, kk)), metrics)
+      Wand.topKAt(spark, paths, Seq(graft.model.Query("adhoc", distinct, kk)), metrics, repoScope)
     }
   }
 
@@ -73,7 +83,12 @@ object SearchApi {
     val rows = search(spark, paths, terms, k, conjunctive, Some(m)).collect()
     val latencyMs = (System.nanoTime() - t0) / 1000000
     val reqId = java.lang.Long.toHexString(graft.index.TermHash.xxhash64(terms.mkString(" ") + t0))
-    val stats = m.snapshot ++ Map("latency_ms" -> latencyMs, "n_results" -> rows.length.toLong)
+    // the conjunctive path ([[IndexSearch.topKAndAt]]) is not wired into the
+    // WAND counters — OMIT the counter fields there rather than log a
+    // measured-looking zero (round-3 advice: 0 must mean "counted zero",
+    // never "not instrumented")
+    val stats = (if (conjunctive) Map.empty[String, Long] else m.snapshot) ++
+      Map("latency_ms" -> latencyMs, "n_results" -> rows.length.toLong)
     val kv = stats.toSeq.sortBy(_._1).map { case (key, v) => s""""$key":$v""" }.mkString(",")
     System.err.println(
       s"""{"graft_request":"$reqId","terms":${terms.size},"k":$k,"conjunctive":$conjunctive,$kv}""")

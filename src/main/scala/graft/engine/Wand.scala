@@ -62,10 +62,23 @@ object Wand {
       spark: SparkSession,
       paths: graft.index.IndexPaths,
       querySet: Seq[Query],
-      metrics: Option[QueryMetrics] = None): DataFrame = {
+      metrics: Option[QueryMetrics] = None,
+      repoScope: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val reader = IndexReader.get(spark, paths)
     val stats = reader.stats
+
+    // Query-scoped corpus restriction (the reference's
+    // `allow_external_links`-style filter, README.md:41): candidates outside
+    // the scoped repos are rejected INSIDE the WAND evaluation loop — before
+    // they can enter the heap — so the per-shard top-k is the top-k OF THE
+    // SCOPE, not a post-filtered global top-k. Membership is a broadcast
+    // sorted docId array + binary search: a repo scope is selective by
+    // construction (that is why the user scoped), the same justification as
+    // broadcasting a dimension table; at 10^12 docs swap in a Bloom filter
+    // per salt if a scope ever outgrows broadcast size. Bounds stay sound:
+    // block maxima upper-bound every doc, a fortiori the scoped subset.
+    val scopeBc = repoScope.map(reader.scopedDocIds)
 
     val allTerms = querySet.flatMap(_.terms).distinct
     val meta = reader.termMeta(allTerms) // term -> (df, winning layer ordinal)
@@ -114,7 +127,13 @@ object Wand {
         }.toSeq
         val decodedBefore = if (metrics.isDefined) lists.iterator.map(_.blocks.decodedBlocks.toLong).sum else 0L
         val counters = new WandCounters
-        val res = wandShardTopK(lists, q.k, avgdl, counters)
+        val inScope: Long => Boolean = scopeBc match {
+          case Some(bc) =>
+            val ids = bc.value
+            d => java.util.Arrays.binarySearch(ids, d) >= 0
+          case None => _ => true
+        }
+        val res = wandShardTopK(lists, q.k, avgdl, counters, inScope)
         metrics.foreach { m =>
           m.candidates.add(counters.evaluated)
           m.blockSkips.add(counters.skips)
@@ -146,7 +165,8 @@ object Wand {
     */
   def wandShardTopK(
       lists: Seq[TermList], k: Int, avgdl: Double,
-      counters: WandCounters = null): Seq[(Long, Double)] = {
+      counters: WandCounters = null,
+      inScope: Long => Boolean = _ => true): Seq[(Long, Double)] = {
     if (lists.isEmpty || k <= 0) return Nil
     final class Cursor(val tl: TermList) { var pos: Int = 0
       def doc: Long = tl.blocks.id(pos)
@@ -186,21 +206,25 @@ object Wand {
           blockUb += sorted(j).tl.blockUpper(sorted(j).pos); j += 1
         }
         if (blockUb >= threshold) {
-          if (counters != null) counters.evaluated += 1
-          var score = 0.0
-          cursors.foreach { c =>
-            if (!c.done) {
-              if (c.doc < pivotDoc) c.seek(pivotDoc)
-              if (!c.done && c.doc == pivotDoc)
-                score += c.tl.idf * Postings.tfNorm(c.tl.blocks.tf(c.pos), c.tl.blocks.dl(c.pos), avgdl)
+          if (inScope(pivotDoc)) {
+            if (counters != null) counters.evaluated += 1
+            var score = 0.0
+            cursors.foreach { c =>
+              if (!c.done) {
+                if (c.doc < pivotDoc) c.seek(pivotDoc)
+                if (!c.done && c.doc == pivotDoc)
+                  score += c.tl.idf * Postings.tfNorm(c.tl.blocks.tf(c.pos), c.tl.blocks.dl(c.pos), avgdl)
+              }
+            }
+            if (score >= threshold || heap.size < k) {
+              evaluated += ((pivotDoc, score))
+              heap.enqueue(score)
+              if (heap.size > k) heap.dequeue()
             }
           }
-          if (score >= threshold || heap.size < k) {
-            evaluated += ((pivotDoc, score))
-            heap.enqueue(score)
-            if (heap.size > k) heap.dequeue()
-          }
-          // advance every cursor sitting on pivotDoc
+          // advance every cursor sitting on pivotDoc (scoped-out docs are
+          // skipped WITHOUT scoring — they never enter the heap, so the
+          // threshold reflects the scope's own top-k)
           sorted.foreach { c => if (!c.done && c.doc == pivotDoc) c.pos += 1 }
         } else {
           // BMW block skip (Ding & Suel): the per-block bound over the

@@ -174,10 +174,15 @@ object Incremental {
 
     // docs delta: fresh docs ONLY (base sidecar is referenced, not copied).
     // LEFT join: zero-token fresh docs keep their dl=0 lineage row — same
-    // invariant as IndexBuilder's sidecar write (P7).
+    // invariant as IndexBuilder's sidecar write (P7). batch_id stamps the
+    // layer's ingest lineage (per-doc provenance, the reference's StartUrl
+    // analog page.go:83) — deterministic per (base, out) pair, so a
+    // replayed batch reproduces the identical sidecar.
+    val batchId = s"add:${basePaths.root}->${outPaths.root}"
     phase("docs-write")(fresh.join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
-        coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"))
+        coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"),
+        lit(batchId).as("batch_id"))
       .write.mode("overwrite").parquet(outPaths.docsDir))
 
     fresh.unpersist(); tf.unpersist(); delta.unpersist(); out.unpersist()
@@ -243,6 +248,18 @@ object Incremental {
       throw new IllegalStateException(s"compact: no snapshot metadata at $root"))
     val stats = IndexBuilder.readStatsFile(snap.statsPath).getOrElse(
       throw new IllegalStateException(s"compact: missing stats at ${snap.statsPath}"))
+    // fail fast BEFORE deleting dirs or publishing (mirrors addBatch): a
+    // pre-v4 root would otherwise compact into a snapshot whose stats still
+    // carry the legacy version — published, then rejected by every reader
+    if (snap.segmentsDirs.size != snap.indexDirs.size ||
+        snap.statsPaths.size != snap.indexDirs.size)
+      throw new IllegalStateException(
+        s"compact: snapshot v${snap.version} at $root lacks aligned per-layer segments/stats " +
+          s"(pre-v${IndexBuilder.FormatVersion} metadata?) — rebuild the root")
+    if (stats.version != IndexBuilder.FormatVersion)
+      throw new IllegalStateException(
+        s"compact: root $root has format v${stats.version}, " +
+          s"need v${IndexBuilder.FormatVersion} — rebuild the root")
 
     val (inner, publishRoot, publishVersion) = toRoot match {
       case Some(r) => (IndexPaths(r), r, 1)

@@ -46,8 +46,12 @@ object IndexBuilder {
   /** Bump when the on-disk format changes — stale caches self-invalidate.
     * v4: snapshot metadata v2 (per-layer segments dirs + stats paths) and
     * salted delta-layer segments, making layered roots WAND-servable.
+    * v5: per-doc ingest provenance — `batch_id` in the docs sidecar (the
+    * reference stamps every node with its crawl root `StartUrl`,
+    * `pkg/page/page.go:83`), so each layer of an LSM root is auditable to
+    * the ingest batch that produced it.
     */
-  val FormatVersion: Int = 4
+  val FormatVersion: Int = 5
 
   /** On-disk schema of a global-index layer (incl. the bucket partition
     * column). Layered reads specify it explicitly: an EMPTY delta layer (a
@@ -79,14 +83,17 @@ object IndexBuilder {
       StructField("salt", IntegerType), StructField("bucket", IntegerType)))
   }
 
-  /** On-disk schema of a docs-sidecar layer. */
+  /** On-disk schema of a docs-sidecar layer. `batch_id` is the ingest
+    * batch's lineage stamp (v5) — build args for a full build, the
+    * incremental batch tag for a delta layer.
+    */
   val DocsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("doc_id", LongType), StructField("repo", StringType),
       StructField("path", StringType), StructField("commit", StringType),
       StructField("lang", StringType), StructField("dl", LongType),
-      StructField("content_sha", StringType)))
+      StructField("content_sha", StringType), StructField("batch_id", StringType)))
   }
 
   val DefaultNumSalts: Int = 16
@@ -120,7 +127,7 @@ object IndexBuilder {
     m.findFirstMatchIn(txt).map(_.group(1).toDouble)
   }
 
-  private[index] def readJsonString(path: Path, key: String): Option[String] = {
+  private[graft] def readJsonString(path: Path, key: String): Option[String] = {
     if (!Files.exists(path)) return None
     val txt = Files.readString(path)
     val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"([^\"]*)\"").r
@@ -226,7 +233,8 @@ object IndexBuilder {
     // 404 nodes without descending them (pkg/crawl/crawl.go:109-118, P7).
     if (!Files.exists(Paths.get(s"${paths.docsDir}/_SUCCESS"))) phase("docs-sidecar") {
       c.select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
-          dlCol.as("dl"), sha2(col("content"), 256).as("content_sha"))
+          dlCol.as("dl"), sha2(col("content"), 256).as("content_sha"),
+          lit(s"build:$buildArgs").as("batch_id"))
         .write.mode("overwrite").parquet(paths.docsDir)
     }
 
@@ -359,12 +367,17 @@ object IndexBuilder {
     }
   }
 
-  /** Persist an [[IndexStats]] JSON (shared by full build + incremental). */
+  /** Persist an [[IndexStats]] JSON (shared by full build + incremental).
+    * The random `nonce` uniquifies every (re)build for the executor-side
+    * posting-cache tag ([[graft.engine.IndexReader]]): two rebuilds with
+    * identical stats can never alias each other's decoded postings.
+    */
   def writeStatsJson(path: String, stats: IndexStats, buildArgs: String): Unit =
     writeJson(path, Seq(
       "version" -> stats.version, "n_docs" -> stats.nDocs, "avgdl" -> stats.avgdl,
       "total_tokens" -> stats.totalTokens, "num_salts" -> stats.numSalts,
-      "num_buckets" -> stats.numBuckets, "build_args" -> buildArgs))
+      "num_buckets" -> stats.numBuckets, "build_args" -> buildArgs,
+      "nonce" -> java.util.UUID.randomUUID().toString))
 
 
   /** Strict open — the analog of the reference's completeness validation
@@ -393,5 +406,53 @@ object IndexBuilder {
       val stats = build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"sfDir=$sfDir")
       (paths, stats)
     }
+  }
+
+  // ---------- async build trigger (wait_crawl=false) ----------
+
+  // one in-flight build per root; single daemon worker — builds are
+  // whole-cluster jobs, queueing them beats interleaving them
+  private val inFlight = scala.collection.concurrent.TrieMap
+    .empty[String, scala.concurrent.Future[IndexStats]]
+  private lazy val buildEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-async-build"); t.setDaemon(true); t
+    })
+
+  /** Fire-and-forget build trigger — the engine analog of the reference's
+    * `wait_crawl=false` mode (`clamber/cmd/api/http.go:76-84`: a cache miss
+    * kicks off the crawl in a goroutine and returns 404 immediately; the
+    * client polls). Returns without blocking:
+    *
+    *  - already complete  → an already-completed Future (the cache-hit path);
+    *  - build in flight   → the SAME Future as the original trigger
+    *    (deduplicated per root — retriggering is a poll, not a second build,
+    *    like the reference's conditional-upsert idempotency);
+    *  - otherwise         → schedules [[build]] on a daemon worker.
+    *
+    * Serving the root before the Future completes keeps throwing from
+    * [[open]] (the 503/incomplete analog — ST5's completeness watermark):
+    * the async mode changes WHEN the build runs, never what is servable.
+    */
+  def buildAsync(
+      spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      paths: IndexPaths,
+      buildArgs: String = ""): scala.concurrent.Future[IndexStats] = {
+    if (isComplete(paths)) scala.concurrent.Future.successful(readStats(paths).get)
+    else inFlight.synchronized { // TrieMap.getOrElseUpdate may double-evaluate
+      inFlight.getOrElseUpdate(paths.root, {
+        implicit val ec: scala.concurrent.ExecutionContext = buildEc
+        val f = scala.concurrent.Future(build(spark, corpus, paths, buildArgs = buildArgs))
+        f.andThen { case _ => inFlight.remove(paths.root) }
+      })
+    }
+  }
+
+  /** [[ensure]]'s non-blocking twin: trigger-or-reuse by sf dir. */
+  def ensureAsync(spark: SparkSession, sfDir: String): (IndexPaths, scala.concurrent.Future[IndexStats]) = {
+    val name = Paths.get(sfDir).getFileName.toString
+    val paths = IndexPaths(s"target/graft-index/v$FormatVersion/$name")
+    (paths, buildAsync(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"sfDir=$sfDir"))
   }
 }

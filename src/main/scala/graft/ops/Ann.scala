@@ -47,11 +47,25 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Hard cap on [[cosinePairs]] input size — the all-pairs join is the
+    * tiny-sf ORACLE cross-check only; [[cosineLshPairs]]/[[ivfTopK]] are the
+    * scale paths. The guard makes "never run this raw at scale" enforced,
+    * not advisory.
+    */
+  val MaxBruteRows: Long = 10000
+
   /** Exact cosine near-dup pairs ≥ [[Dedup.CosineThreshold]].
     * All-pairs at test scale; the LSH/IVF candidates below are the scale
     * path (SURVEY-level note: at 10^12 rows you never run this join raw).
+    * Guarded: refuses inputs above [[MaxBruteRows]] rows so a future caller
+    * cannot run the O(n²) BroadcastNestedLoopJoin against a real corpus.
     */
   def cosinePairs(emb: DataFrame): DataFrame = {
+    val n = emb.count()
+    if (n > MaxBruteRows)
+      throw new IllegalArgumentException(
+        s"cosinePairs is the all-pairs oracle path, capped at $MaxBruteRows rows; " +
+          s"got $n — use cosineLshPairs (blocked candidates) at scale")
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
     val cos = cosine(col("ea"), col("eb"))

@@ -1,8 +1,7 @@
 package graft.ops
 
 import graft.score.BM25
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact (hash
@@ -32,12 +31,20 @@ object Dedup {
 
   /** Exact dedup: sha256(text) groupBy — the A2 visited-set analog at
     * training-data scale. Emits every hash group with its canonical doc.
+    *
+    * Group labels come from a groupBy + hash-join back, NOT a
+    * `Window.partitionBy(text_sha)`: a window (even without ORDER BY)
+    * funnels each partition key through ONE task, and dedup's target case
+    * is exactly the pathological key — 10^7 copies of the same README hash
+    * at 100 TB. Both the aggregate and the join here hash-partition, so a
+    * mass-duplicated group spreads across the cluster.
     */
   def exact(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("text_sha")
-    docs.select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
-      .withColumn("canonical_id", min("doc_id").over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+    val groups = hashed.groupBy("text_sha")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, "text_sha")
+      .select("doc_id", "text_sha", "canonical_id", "group_size")
       .orderBy("doc_id")
   }
 

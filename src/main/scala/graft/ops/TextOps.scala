@@ -3,7 +3,6 @@ package graft.ops
 import graft.score.BM25
 import graft.tokenize.Tokenizer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -82,11 +81,15 @@ object TextOps {
     * primitive; rolling-hash variants reduce to the same groupBy shape.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
+    // groupBy + join back, not Window.partitionBy(fingerprint): a window
+    // funnels each fingerprint group through one task — fatal exactly on the
+    // mass-duplicated fingerprints dedup exists to find (see [[Dedup.exact]]).
     val fp = sha2(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))), 256)
-    val w = Window.partitionBy("fingerprint")
-    docs.select(col("doc_id"), fp.as("fingerprint"))
-      .withColumn("canonical_id", min("doc_id").over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    val hashed = docs.select(col("doc_id"), fp.as("fingerprint"))
+    val groups = hashed.groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, "fingerprint")
+      .select("doc_id", "fingerprint", "canonical_id", "group_size")
       .orderBy("doc_id")
   }
 }

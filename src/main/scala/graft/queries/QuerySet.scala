@@ -37,6 +37,12 @@ object QuerySet {
     Query("qa4", Seq("codec", "scan", "stream"), 15),
     Query("qa5", Seq("func", "zzznotfound"), 10))
 
+  /** Repo scope for the query-scoped search fixture (`bm25_scoped_topk`) —
+    * the reference's `allow_external_links`-style query-time corpus
+    * restriction (README.md:41). Three of the 50 synthesized repos.
+    */
+  val scopeRepos: Seq[String] = Seq("repo-7", "repo-21", "repo-35")
+
   /** Exploded to one row per (query_id, term, k) — the engine's query-side
     * join input (SURVEY.md J5).
     */

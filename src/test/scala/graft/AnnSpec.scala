@@ -56,4 +56,15 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     System.err.println(f"[ann] ivf recall@${Ann.TopK} = $recall%.3f (nprobe=${Ann.NProbe} of ${Ann.NumCentroids} cells)")
     assert(recall >= 0.4, f"recall collapsed: $recall%.3f")
   }
+
+  test("cosinePairs is capped: the all-pairs oracle path refuses big inputs") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(Ann.MaxBruteRows + 1)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException](Ann.cosinePairs(big))
+    assert(e.getMessage.contains("cosineLshPairs"), "guard must route callers to the scale path")
+    // and the real (tiny) embeddings table still passes the guard
+    assert(Ann.cosinePairs(Ann.embeddings(spark, sfDir)).columns.toSeq ===
+      Seq("ia", "ib", "cos_r"))
+  }
 }

@@ -88,6 +88,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup group labeling is groupBy + join back, never a hash-partitioned window") {
+    // Window.partitionBy(text_sha/fingerprint) funnels each duplicate group
+    // through ONE task — the pathological input (a mass-duplicated doc) is
+    // exactly what dedup targets, so the label join must hash-partition
+    val docs = graft.ops.TextOps.documents(spark, sfDir)
+    Seq(plan(graft.ops.Dedup.exact(docs)), plan(graft.ops.TextOps.fingerprint(docs))).foreach { p =>
+      assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),
+        s"dedup labeling still uses a window:\n$p")
+    }
+  }
+
+  test("scoped search keeps the top-k aggregate tail and broadcasts only query terms") {
+    val (paths, _) = graft.index.IndexBuilder.ensure(spark, sfDir)
+    val p = plan(graft.engine.Wand.topKAt(spark, paths, QuerySet.all,
+      repoScope = Some(QuerySet.scopeRepos)))
+    assert(p.contains("top_k_by_score"), s"scoped tail lost the top-k aggregate:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),
+      s"scoped ranking uses a window:\n$p")
+  }
+
   test("LSH dedup verify joins candidates to shingles (no corpus-wide self-join recompute)") {
     // the verify stage must hash-join the candidate pair list against the
     // per-doc shingle sets; a second full shingle⋈shingle self-join would

@@ -58,6 +58,31 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.map(_.getInt(1)).toSeq === (1 to 5))
   }
 
+  test("repo scope: WAND inner-loop filter == docs-join filter, and ranks are scope-local") {
+    // two INDEPENDENT scope mechanisms must agree: the OR path rejects
+    // candidates inside the WAND evaluation loop (broadcast docId set); the
+    // index path filters the docs join before the ranking tail
+    val scope = QuerySet.scopeRepos
+    val wand = SearchApi.search(spark, paths, Seq("func", "buffer"), 10, repoScope = Some(scope)).collect()
+    val viaIndex = {
+      val s = spark; import s.implicits._
+      val q = Seq(("adhoc", "func", 10), ("adhoc", "buffer", 10)).toDF("query_id", "term", "k")
+      graft.engine.IndexSearch.topKAt(spark, paths, q, Some(scope)).collect()
+    }
+    assert(wand.map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4))).toSeq ===
+      viaIndex.map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4))).toSeq)
+    assert(wand.nonEmpty && wand.forall(r => scope.contains(r.getString(2))),
+      "scoped results must come from scoped repos only")
+    assert(wand.map(_.getInt(1)).toSeq === (1 to wand.length), "ranks must be scope-local and gapless")
+  }
+
+  test("empty repo scope rejects (400 analog); scoping to an absent repo yields empty") {
+    intercept[IllegalArgumentException](
+      SearchApi.search(spark, paths, Seq("func"), 10, repoScope = Some(Nil)))
+    assert(SearchApi.search(spark, paths, Seq("func"), 10,
+      repoScope = Some(Seq("repo-does-not-exist"))).count() === 0)
+  }
+
   test("metered search executes, returns rows + populated counters, and logs a request line") {
     val (rows, stats) = SearchApi.searchMetered(spark, paths, Seq("func", "buffer"), 5)
     assert(rows.length === 5)
