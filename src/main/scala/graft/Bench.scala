@@ -71,23 +71,56 @@ object Bench {
   private def heapUsedMb(): Long =
     ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
 
+  /** Sum of CPU time over all live JAVA threads, ms. The three-way split
+    * per sample is the attribution that settles a latency tail:
+    *  - task_cpu ≈ proc_cpu        → amplified TASK work (engine problem)
+    *  - java threads ≫ task_cpu    → driver/other java threads
+    *  - proc_cpu ≫ java threads    → NATIVE threads (G1 concurrent mark /
+    *                                 JIT compiler), invisible to gc_ms
+    *  - wall ≫ proc_cpu/cores      → the JVM never got the cores: external
+    *                                 host contention, not this engine.
+    */
+  private def javaThreadCpuMs(): Long = {
+    val t = ManagementFactory.getThreadMXBean
+    if (!t.isThreadCpuTimeSupported) return -1L
+    var sum = 0L
+    t.getAllThreadIds.foreach { id =>
+      val c = t.getThreadCpuTime(id)
+      if (c > 0) sum += c
+    }
+    sum / 1000000L
+  }
+
+  /** 1-minute system load average (normalize by cores to spot co-tenants). */
+  private def load1(): Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   /** Appends one JSON object per latency sample to the samples file. */
-  private final class SampleLog(path: java.nio.file.Path, t0Nanos: Long) {
+  private final class SampleLog(path: java.nio.file.Path, t0Nanos: Long,
+      taskCpu: CpuTimeListener, sc: org.apache.spark.SparkContext) {
     Files.createDirectories(path.getParent)
     Files.deleteIfExists(path)
     private val w = Files.newBufferedWriter(path, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
-    /** Times `f`, metering GC/CPU/heap around it plus the accumulator
-      * deltas of `m` (if given); returns the wall seconds.
+    /** Times `f`, metering GC / process-CPU / task-CPU / java-thread-CPU /
+      * heap / system load around it plus the accumulator deltas of `m`
+      * (if given); returns the wall seconds. The listener bus is drained
+      * before reading task CPU (async onTaskEnd undercounts otherwise).
       */
     def sample(pathName: String, rep: Int, queryId: String, m: Option[QueryMetrics])(f: => Unit): Double = {
       val (gcMs0, gcN0) = gcTotals()
       val cpu0 = processCpuMs()
+      val jt0 = javaThreadCpuMs()
+      org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
+      val task0 = (taskCpu.cpuSec * 1000).toLong
       val acc0 = m.map(x => (x.candidates.value, x.blocksDecoded.value, x.blockSkips.value))
       val tOff = (System.nanoTime() - t0Nanos) / 1e9
       val (_, wall) = time(f)
       val (gcMs1, gcN1) = gcTotals()
       val cpu1 = processCpuMs()
+      val jt1 = javaThreadCpuMs()
+      org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
+      val task1 = (taskCpu.cpuSec * 1000).toLong
       val counters = (m, acc0) match {
         case (Some(x), Some((c0, b0, s0))) =>
           s""","candidates":${x.candidates.value - c0},"blocks_decoded":${x.blocksDecoded.value - b0},"block_skips":${x.blockSkips.value - s0}"""
@@ -96,7 +129,9 @@ object Bench {
       w.write(
         s"""{"path":"$pathName","rep":$rep,"query":"$queryId","t_off_s":${f"$tOff%.3f"},""" +
           s""""wall_s":${f"$wall%.6f"},"gc_ms":${gcMs1 - gcMs0},"gc_n":${gcN1 - gcN0},""" +
-          s""""proc_cpu_ms":${cpu1 - cpu0},"heap_mb":${heapUsedMb()}$counters}""")
+          s""""proc_cpu_ms":${cpu1 - cpu0},"task_cpu_ms":${task1 - task0},""" +
+          s""""java_cpu_ms":${jt1 - jt0},"load1":${f"${load1()}%.1f"},""" +
+          s""""heap_mb":${heapUsedMb()}$counters}""")
       w.newLine(); w.flush()
       wall
     }
@@ -116,14 +151,13 @@ object Bench {
     deleteTree(indexRoot)
     val t0Nanos = System.nanoTime()
     val cpusUsed = spark.sparkContext.defaultParallelism
-    val samplesPath = Paths.get(s"bench/samples_${sfName}_cpus$cpusUsed.jsonl")
-    val log = new SampleLog(samplesPath, t0Nanos)
-
     // executor CPU time per phase: utilization = cpu/(wall×cores) is the
     // steal/disk-burst-immune signal (see BASELINE.md scaling analysis)
     val cpu = new CpuTimeListener
     spark.sparkContext.addSparkListener(cpu)
     val cores = spark.sparkContext.defaultParallelism
+    val samplesPath = Paths.get(s"bench/samples_${sfName}_cpus$cpusUsed.jsonl")
+    val log = new SampleLog(samplesPath, t0Nanos, cpu, spark.sparkContext)
 
     val (stats, tBuild) = time {
       IndexBuilder.build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"bench-$sfName")

@@ -152,6 +152,16 @@ object SparkEntry {
     "bm25_wand_topk" -> ((s, dir) =>
       graft.engine.Wand.topK(s, dir, QuerySet.all)),
 
+    // v6 impact-ordered fast path: the single-term queries served from
+    // per-term top-FastK score prefixes (O(k), not O(df) — block-max
+    // pruning can't fire on a flat score distribution). Same oracle as
+    // every other query path: rank identity is the contract. q04 (rare →
+    // no prefix) and q05 (absent) exercise the fallbacks in the same call.
+    "bm25_fast_topk" -> ((s, dir) => {
+      val (paths, _) = graft.index.IndexBuilder.ensure(s, dir)
+      graft.engine.Wand.topKAt(s, paths, QuerySet.singleTerm)
+    }),
+
     // Query-scoped search (the reference's allow_external_links analog,
     // README.md:41): the same WAND serving path restricted to a 3-repo
     // scope — the scope predicate reaches the WAND candidate filter, so
@@ -381,6 +391,8 @@ object SparkEntry {
     "bm25_wand_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
 
     "bm25_scoped_topk" -> OracleSql.bm25TopK(QuerySet.duckValues, Some(QuerySet.scopeRepos)),
+
+    "bm25_fast_topk" -> OracleSql.bm25TopK(QuerySet.duckValuesFor(QuerySet.singleTerm)),
 
     // nested result assembly: DuckDB 1.0 to_json(list(struct_pack ORDER BY
     // rank)) emits the byte-identical compact JSON as Spark's

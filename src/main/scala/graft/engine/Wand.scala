@@ -80,25 +80,55 @@ object Wand {
     // block maxima upper-bound every doc, a fortiori the scoped subset.
     val scopeBc = repoScope.map(reader.scopedDocIds)
 
-    val allTerms = querySet.flatMap(_.terms).distinct
+    val n = stats.nDocs
+    val avgdl = stats.avgdl
+
+    // FAST PATH (v6 impact-ordered prefixes): an unscoped single-term query
+    // with k ≤ FastK whose term has a fast list is served from the
+    // top-FastK-by-score prefix — O(k) instead of O(df). Bench evidence for
+    // why: block-max pruning never fires on a flat score distribution (q01
+    // "func" evaluated all 598,902 candidates with 0 skips). The prefix
+    // contains every doc whose score can reach the top FastK (boundary kept
+    // with Eps slack at build), and scoring below reuses the SAME
+    // BM25.score Column expression as the naive/index plans — rank identity
+    // is by construction, and the shared oracle pins it.
+    val (fastQs, wandQs) = querySet.partition(q =>
+      scopeBc.isEmpty && q.terms.distinct.size == 1 &&
+        q.k <= graft.index.IndexBuilder.FastK &&
+        reader.fastList(q.terms.distinct.head).isDefined)
+    val fastCand: Option[DataFrame] = if (fastQs.isEmpty) None else {
+      val rows = fastQs.flatMap { q =>
+        val (df, ids, tfs, dls) = reader.fastList(q.terms.distinct.head).get
+        metrics.foreach(_.candidates.add(ids.length.toLong))
+        ids.indices.map(i => (q.queryId, q.k, ids(i), tfs(i), dls(i), df))
+      }
+      Some(rows.toDF("query_id", "k", "doc_id", "tf", "dl", "df")
+        .select(col("query_id"), col("k"), col("doc_id"),
+          graft.score.BM25.score(col("tf"), col("df"), col("dl"),
+            lit(n), lit(avgdl)).as("score")))
+    }
+
+    val allTerms = wandQs.flatMap(_.terms).distinct
     val meta = reader.termMeta(allTerms) // term -> (df, winning layer ordinal)
     val dfMap: Map[String, Long] = meta.map { case (t, (d, _)) => t -> d }
 
-    val n = stats.nDocs
-    val avgdl = stats.avgdl
-    val qByIdLocal = querySet.map(q => q.queryId -> q).toMap
+    val qByIdLocal = wandQs.map(q => q.queryId -> q).toMap
     val cacheTag = reader.cacheTag
 
-    if (meta.isEmpty) // every term absent: the reference's 404-with-null-results
+    if (meta.isEmpty && fastCand.isEmpty) // every term absent: the 404-with-null-results analog
       return spark.emptyDataset[(String, Int, String, String, String, Double)]
         .toDF("query_id", "rank", "repo", "path", "commit", "score_r")
+    if (meta.isEmpty) {
+      val docsF = reader.docs.select("doc_id", "repo", "path", "commit")
+      return NaiveSearch.rankByKeys(fastCand.get.join(docsF, "doc_id"))
+    }
 
     // segments are partitioned by (salt, bucket): the bucket IN filter
     // prunes to |query-term buckets| directories per salt, and the term IN
     // predicate pushes into the parquet scan. The broadcast query-term join
     // fans each segment row out to the queries that use its term; grouping
     // by (salt, query) then gives every WAND run its own task slot.
-    val qTerms = querySet.flatMap(q => q.terms.distinct.map(t => (q.queryId, t)))
+    val qTerms = wandQs.flatMap(q => q.terms.distinct.map(t => (q.queryId, t)))
       .toDF("query_id", "term")
     val segParts = meta.groupBy(_._2._2).toSeq.sortBy(_._1).map { case (ord, ts) =>
       val layer = reader.layers(ord)
@@ -143,8 +173,9 @@ object Wand {
       }
       .toDF("query_id", "k", "doc_id", "score")
 
+    val allCand = fastCand.fold(candidates)(f => candidates.unionByName(f))
     val docs = reader.docs.select("doc_id", "repo", "path", "commit")
-    NaiveSearch.rankByKeys(candidates.join(docs, "doc_id"))
+    NaiveSearch.rankByKeys(allCand.join(docs, "doc_id"))
   }
 
   /** One term's shard sub-postings, accessed block-lazily: the cursor's

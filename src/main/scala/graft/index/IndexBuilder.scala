@@ -14,9 +14,18 @@ final case class IndexStats(version: Int, nDocs: Long, avgdl: Double, totalToken
 final case class IndexPaths(root: String) {
   val segmentsDir: String = s"$root/segments"   // (term, df, sum_tf, postings, dls, block_max) partitioned by salt
   val indexDir: String = s"$root/index"         // globally merged, partitioned by term-hash bucket
-  val docsDir: String = s"$root/docs"           // (doc_id, repo, path, commit, lang, dl, content_sha)
+  val docsDir: String = s"$root/docs"           // (doc_id, repo, path, commit, lang, dl, content_sha, batch_id)
+  val fastDir: String = s"$root/fast"           // impact-ordered top-FastK prefixes of hot terms (v6)
   val manifestsDir: String = s"$root/manifests" // one JSON per salt partition (the checkpoint unit)
   val statsPath: String = s"$root/stats.json"
+}
+
+object IndexPaths {
+  /** The fast sidecar of the layer whose global index lives at `indexDir`
+    * (snapshots record index dirs only; `fast` is always its sibling).
+    */
+  def fastDirFor(indexDir: String): String =
+    indexDir.stripSuffix("/").stripSuffix("index") + "fast"
 }
 
 /** The index build pipeline — SURVEY.md §3.2's engine equivalent of the
@@ -50,8 +59,45 @@ object IndexBuilder {
     * reference stamps every node with its crawl root `StartUrl`,
     * `pkg/page/page.go:83`), so each layer of an LSM root is auditable to
     * the ingest batch that produced it.
+    * v6: impact-ordered fast lists (`fast/` sidecar) — per hot term, the
+    * top-[[FastK]]-by-score posting prefix (+ quantized-score boundary
+    * ties), built at index time. Single-term queries serve from the prefix
+    * in O(k) instead of evaluating the full posting list: block-max
+    * pruning cannot fire on a flat score distribution (bench evidence:
+    * q01 "func" evaluated all 598,902 candidates with 0 block skips), and
+    * at 10^12 docs an O(N)-per-query hot-term path is not servable.
     */
-  val FormatVersion: Int = 5
+  val FormatVersion: Int = 6
+
+  /** Fast-list prefix length: single-term queries with k ≤ FastK are
+    * served from the impact-ordered prefix (Anh & Moffat-style impact
+    * ordering, reduced to a per-term top-k cache). Must stay ≥ every
+    * bench/oracle k and ≤≤ [[FastMinDf]].
+    */
+  val FastK: Int = 300
+
+  /** Only terms with df ≥ this get a fast list — shorter lists are cheap
+    * to evaluate in full, and the sidecar stays a small fraction of the
+    * index (hot terms only).
+    */
+  val FastMinDf: Long = 4096L
+
+  /** A term whose boundary-tie set pushes the prefix beyond this cap gets
+    * NO fast list (fall back to the exact path) — ties must never silently
+    * truncate, that would break rank identity.
+    */
+  val FastListCap: Int = 8192
+
+  /** On-disk schema of the fast sidecar (bucket is the partition column). */
+  val FastSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType),
+      StructField("doc_ids", ArrayType(LongType, containsNull = false)),
+      StructField("tfs", ArrayType(IntegerType, containsNull = false)),
+      StructField("dls", ArrayType(LongType, containsNull = false)),
+      StructField("bucket", IntegerType)))
+  }
 
   /** On-disk schema of a global-index layer (incl. the bucket partition
     * column). Layered reads specify it explicitly: an EMPTY delta layer (a
@@ -343,8 +389,11 @@ object IndexBuilder {
 
     // Global merge: per-salt sub-postings → one posting list per term,
     // bucket-partitioned by term hash for query-time partition pruning.
-    // Any rebuilt salt invalidates the previous merge.
-    if (missing.nonEmpty) deleteRecursively(Paths.get(paths.indexDir))
+    // Any rebuilt salt invalidates the previous merge (and the fast lists).
+    if (missing.nonEmpty) {
+      deleteRecursively(Paths.get(paths.indexDir))
+      deleteRecursively(Paths.get(paths.fastDir))
+    }
     if (!Files.exists(Paths.get(s"${paths.indexDir}/_SUCCESS"))) {
       val segs = spark.read.parquet(paths.segmentsDir)
       val prevFallback = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
@@ -365,6 +414,66 @@ object IndexBuilder {
         }
       }
     }
+
+    // Impact-ordered fast lists (v6): one distributed pass over the merged
+    // index extracts each hot term's top-FastK-by-score posting prefix
+    // (+ boundary ties). Single-term queries then serve in O(k) instead of
+    // O(df) — block-max pruning cannot fire on a flat score distribution,
+    // and at 10^12 docs an O(N) hot-term query is not servable.
+    if (!Files.exists(Paths.get(s"${paths.fastDir}/_SUCCESS"))) {
+      import spark.implicits._
+      val n = stats.nDocs
+      val avgdl = stats.avgdl
+      phase("fast-lists") {
+        spark.read.parquet(paths.indexDir)
+          .filter(col("df") >= FastMinDf)
+          .select("term", "df", "postings", "dls", "bucket")
+          .as[(String, Long, Array[Byte], Array[Byte], Int)]
+          .flatMap { case (term, df, p, d, bucket) =>
+            fastPrefix(df, p, d, n, avgdl).map { case (ids, tfs, dls) =>
+              (term, df, ids, tfs, dls, bucket)
+            }
+          }
+          .toDF("term", "df", "doc_ids", "tfs", "dls", "bucket")
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(paths.fastDir)
+      }
+    }
+  }
+
+  /** The top-[[FastK]]-by-score prefix of one posting list, with an
+    * [[graft.engine.Wand.Eps]]-wide boundary: every posting whose RAW score
+    * reaches (FastK-th best − Eps) is kept, so quantization ties and
+    * last-ulp scalar-vs-Column float differences can never exclude a doc
+    * that the exact plan would rank into the top k ≤ FastK. Returns None
+    * when the tie set blows past [[FastListCap]] (that term falls back to
+    * the exact path — ties are never silently truncated).
+    */
+  private[graft] def fastPrefix(df: Long, p: Array[Byte], d: Array[Byte],
+      n: Long, avgdl: Double): Option[(Array[Long], Array[Int], Array[Long])] = {
+    val (ids, tfs, dls) = Postings.decode(p, d)
+    if (ids.length <= FastK) return Some((ids, tfs, dls))
+    val idf = Postings.idf(df, n)
+    val scores = new Array[Double](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      scores(i) = idf * Postings.tfNorm(tfs(i), dls(i), avgdl); i += 1
+    }
+    val sorted = scores.clone()
+    java.util.Arrays.sort(sorted)
+    val boundary = sorted(sorted.length - FastK) - graft.engine.Wand.Eps
+    var cnt = 0
+    i = 0
+    while (i < scores.length) { if (scores(i) >= boundary) cnt += 1; i += 1 }
+    if (cnt > FastListCap) return None
+    val oi = new Array[Long](cnt); val ot = new Array[Int](cnt); val od = new Array[Long](cnt)
+    var o = 0
+    i = 0
+    while (i < scores.length) {
+      if (scores(i) >= boundary) { oi(o) = ids(i); ot(o) = tfs(i); od(o) = dls(i); o += 1 }
+      i += 1
+    }
+    Some((oi, ot, od))
   }
 
   /** Persist an [[IndexStats]] JSON (shared by full build + incremental).

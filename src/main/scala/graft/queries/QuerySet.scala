@@ -37,6 +37,16 @@ object QuerySet {
     Query("qa4", Seq("codec", "scan", "stream"), 15),
     Query("qa5", Seq("func", "zzznotfound"), 10))
 
+  /** The single-term subset — the queries eligible for the v6
+    * impact-ordered fast path (plus its fallbacks: q04 rare → no fast
+    * list, q05 absent → empty).
+    */
+  val singleTerm: Seq[Query] = all.filter(_.terms.size == 1)
+
+  /** VALUES list for an arbitrary query subset. */
+  def duckValuesFor(qs: Seq[Query]): String =
+    qs.flatMap(q => q.terms.map(t => s"('${q.queryId}','$t',${q.k})")).mkString(",")
+
   /** Repo scope for the query-scoped search fixture (`bm25_scoped_topk`) —
     * the reference's `allow_external_links`-style query-time corpus
     * restriction (README.md:41). Three of the 50 synthesized repos.

@@ -1,0 +1,103 @@
+package graft
+
+import graft.engine.{IndexReader, NaiveSearch, QueryMetrics, Wand}
+import graft.index.{IndexBuilder, Postings}
+import graft.model.Query
+import graft.queries.QuerySet
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The v6 impact-ordered fast path: hot single-term queries serve from the
+  * per-term top-FastK prefix in O(k) — the fix for the bench finding that
+  * block-max pruning never fires on a flat score distribution (q01 "func"
+  * evaluated every candidate with 0 skips). Pins: prefix existence +
+  * boundary-tie capture, rank identity vs the naive oracle plan with the
+  * fast route ENGAGED (candidate counter = prefix size, not df), and the
+  * fallbacks (rare term, absent term, k > FastK, scoped query).
+  */
+class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+  private var paths: graft.index.IndexPaths = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    paths = IndexBuilder.ensure(spark, sfDir)._1
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("hot term has an impact-ordered prefix; rare/absent terms do not") {
+    val reader = IndexReader.get(spark, paths)
+    val fl = reader.fastList("func")
+    assert(fl.isDefined, "hot term 'func' (df = N) must have a fast list")
+    val (df, ids, tfs, dls) = fl.get
+    assert(df >= IndexBuilder.FastMinDf)
+    assert(ids.length >= IndexBuilder.FastK && ids.length <= IndexBuilder.FastListCap,
+      s"prefix size ${ids.length} outside [FastK, FastListCap]")
+    assert(ids.length == tfs.length && ids.length == dls.length)
+    assert(reader.fastList("handler_0_3").isEmpty, "rare term must fall back")
+    assert(reader.fastList("zzznotfound").isEmpty, "absent term must fall back")
+  }
+
+  test("fastPrefix keeps ALL boundary ties and refuses past the cap") {
+    val n = 100000L
+    val avgdl = 20.0
+    // 1000 docs: 400 with (tf=5, dl=10) — the tied top block — then 600
+    // with descending lower impact (tf=1, growing dl)
+    val ids = Array.tabulate(1000)(i => i.toLong * 3 + 1)
+    val tfs = Array.tabulate(1000)(i => if (i < 400) 5 else 1)
+    val dls = Array.tabulate(1000)(i => if (i < 400) 10L else 20L + i)
+    val e = Postings.encode("t", ids, tfs, dls, avgdl)
+    val out = IndexBuilder.fastPrefix(1000L, e.postings, e.dls, n, avgdl)
+    assert(out.isDefined)
+    val (oi, ot, _) = out.get
+    // FastK=300 < 400 tied docs: the ENTIRE tie set must be kept
+    assert(ot.count(_ == 5) == 400, "boundary ties were truncated")
+    assert(oi.length >= 400)
+    // all-tied list larger than the cap → no fast list (fallback, not truncation)
+    val bigIds = Array.tabulate(IndexBuilder.FastListCap + 1)(i => i.toLong + 1)
+    val bigTfs = Array.fill(IndexBuilder.FastListCap + 1)(5)
+    val bigDls = Array.fill(IndexBuilder.FastListCap + 1)(10L)
+    val eb = Postings.encode("t", bigIds, bigTfs, bigDls, avgdl)
+    assert(IndexBuilder.fastPrefix((IndexBuilder.FastListCap + 1).toLong,
+      eb.postings, eb.dls, n, avgdl).isEmpty)
+  }
+
+  test("fast route engaged: q01 candidate count is the prefix size, not df") {
+    val reader = IndexReader.get(spark, paths)
+    val prefixLen = reader.fastList("func").get._2.length
+    val m = QueryMetrics(spark)
+    Wand.topKAt(spark, paths, Seq(Query("q01", Seq("func"), 10)), Some(m)).count()
+    assert(m.candidates.value === prefixLen.toLong,
+      s"fast path not engaged: evaluated ${m.candidates.value}, prefix is $prefixLen")
+    assert(m.candidates.value < reader.fastList("func").get._1,
+      "candidate count should be far below df")
+  }
+
+  test("serving path (fast + WAND mix) is rank-identical to the naive oracle plan") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))
+    val got = Wand.topKAt(spark, paths, QuerySet.all).collect().map(key).toSeq
+    val want = NaiveSearch.topK(spark,
+      graft.corpus.Corpus.corpus(spark, sfDir), QuerySet.df(spark)).collect().map(key).toSeq
+    assert(got === want, "fast-path-mixed serving diverged from the oracle plan")
+  }
+
+  test("k > FastK falls back to the exact path (and still matches naive)") {
+    val q = Query("big", Seq("func"), IndexBuilder.FastK + 1)
+    val m = QueryMetrics(spark)
+    val got = Wand.topKAt(spark, paths, Seq(q), Some(m)).count()
+    assert(got === (IndexBuilder.FastK + 1).toLong)
+    val reader = IndexReader.get(spark, paths)
+    assert(m.candidates.value > reader.fastList("func").get._2.length.toLong,
+      "k > FastK must not use the truncated prefix")
+  }
+}

@@ -43,6 +43,37 @@ class PostingCacheSpec extends AnyFunSuite {
     PostingCache.invalidatePrefix("cacheSpecRoot")
   }
 
+  test("eviction budget is GLOBAL: a lone hot stripe may hold the whole budget") {
+    // round-3 advice: with a per-stripe budget of maxPostings/16, a hot-term
+    // set hashing into one stripe starts thrashing at 1/16 of the configured
+    // size. Craft keys that all land in one stripe and verify they ALL stay
+    // resident as long as the GLOBAL total fits.
+    val prev = PostingCache.maxPostings
+    PostingCache.invalidatePrefix("") // drain: the global counter must start ~0
+    try {
+      PostingCache.maxPostings = 4000
+      val stripeOf = (term: String) =>
+        math.floorMod(s"hotStripeRoot@v1#7#$term".hashCode, 16)
+      val target = stripeOf("probe0") // whichever stripe — all keys must share it
+      val hotTerms = Iterator.from(0).map(i => s"probe$i")
+        .filter(t => stripeOf(t) == target).take(10).toSeq
+      val handles = hotTerms.map { t =>
+        val (cnt, p, d, dir) = encoded(t, 300) // 10 × 300 = 3000 < 4000 global
+        t -> PostingCache.open("hotStripeRoot@v1", 7, t, cnt, p, d, dir)
+      }
+      // 3000 postings in ONE stripe >> old per-stripe budget (4000/16 = 250):
+      // with the global budget none may have been evicted
+      handles.foreach { case (t, h) =>
+        val (cnt, p, d, dir) = encoded(t, 300)
+        assert(PostingCache.open("hotStripeRoot@v1", 7, t, cnt, p, d, dir) eq h,
+          s"hot-stripe entry $t was evicted below the global budget")
+      }
+    } finally {
+      PostingCache.maxPostings = prev
+      PostingCache.invalidatePrefix("hotStripeRoot")
+    }
+  }
+
   test("tiny budget: eviction churns but reads stay correct; invalidatePrefix is scoped") {
     val prev = PostingCache.maxPostings
     try {
