@@ -71,8 +71,8 @@ object IndexBuilder {
 
   /** Fast-list prefix length: single-term queries with k ≤ FastK are
     * served from the impact-ordered prefix (Anh & Moffat-style impact
-    * ordering, reduced to a per-term top-k cache). Must stay ≥ every
-    * bench/oracle k and ≤≤ [[FastMinDf]].
+    * ordering, reduced to a per-term top-k cache in the FINAL total
+    * order). Must stay ≥ every bench/oracle k and ≪ [[FastMinDf]].
     */
   val FastK: Int = 300
 
@@ -81,12 +81,6 @@ object IndexBuilder {
     * index (hot terms only).
     */
   val FastMinDf: Long = 4096L
-
-  /** A term whose boundary-tie set pushes the prefix beyond this cap gets
-    * NO fast list (fall back to the exact path) — ties must never silently
-    * truncate, that would break rank identity.
-    */
-  val FastListCap: Int = 8192
 
   /** On-disk schema of the fast sidecar (bucket is the partition column). */
   val FastSchema: org.apache.spark.sql.types.StructType = {
@@ -415,65 +409,50 @@ object IndexBuilder {
       }
     }
 
-    // Impact-ordered fast lists (v6): one distributed pass over the merged
-    // index extracts each hot term's top-FastK-by-score posting prefix
-    // (+ boundary ties). Single-term queries then serve in O(k) instead of
-    // O(df) — block-max pruning cannot fire on a flat score distribution,
+    // Impact-ordered fast lists (v6): one distributed pass extracts each
+    // hot term's top-[[FastK]] postings BY THE FINAL TOTAL ORDER —
+    // (quantized score desc, natural key asc), the same [[graft.engine.TopKAggExprs]]
+    // heap aggregate + the same BM25 Column expressions as every query
+    // path — so the stored prefix IS the term's final top-FastK, ties
+    // resolved identically by construction. (A raw-score boundary cut is
+    // NOT viable here: an ultra-hot term's idf ≈ ln(1 + 0.5/(N+0.5)) makes
+    // its whole score range narrower than any epsilon at large N — the
+    // tie-dominated case must be broken by natural keys, exactly like the
+    // final ranking.) Single-term queries then serve in O(k) instead of
+    // O(df): block-max pruning cannot fire on a flat score distribution,
     // and at 10^12 docs an O(N) hot-term query is not servable.
     if (!Files.exists(Paths.get(s"${paths.fastDir}/_SUCCESS"))) {
       import spark.implicits._
       val n = stats.nDocs
       val avgdl = stats.avgdl
       phase("fast-lists") {
-        spark.read.parquet(paths.indexDir)
+        val hot = spark.read.parquet(paths.indexDir)
           .filter(col("df") >= FastMinDf)
           .select("term", "df", "postings", "dls", "bucket")
           .as[(String, Long, Array[Byte], Array[Byte], Int)]
           .flatMap { case (term, df, p, d, bucket) =>
-            fastPrefix(df, p, d, n, avgdl).map { case (ids, tfs, dls) =>
-              (term, df, ids, tfs, dls, bucket)
-            }
+            val (ids, tfs, dls) = Postings.decode(p, d)
+            Iterator.range(0, ids.length).map(i => (term, df, bucket, ids(i), tfs(i), dls(i)))
           }
-          .toDF("term", "df", "doc_ids", "tfs", "dls", "bucket")
+          .toDF("term", "df", "bucket", "doc_id", "tf", "dl")
+        val docKeys = spark.read.schema(DocsSchema).parquet(paths.docsDir)
+          .select("doc_id", "repo", "path", "commit")
+        val scoreR = graft.score.BM25.quantize(graft.score.BM25.score(
+          col("tf"), col("df"), col("dl"), lit(n), lit(avgdl)))
+        hot.join(docKeys, "doc_id")
+          .groupBy("term", "df", "bucket")
+          .agg(graft.engine.TopKAggExprs.topK(lit(FastK), scoreR,
+            struct(col("repo"), col("path"), col("commit"),
+              col("doc_id"), col("tf"), col("dl"))).as("hits"))
+          .select(col("term"), col("df"),
+            transform(col("hits"), h => h.getField("doc_id")).as("doc_ids"),
+            transform(col("hits"), h => h.getField("tf")).as("tfs"),
+            transform(col("hits"), h => h.getField("dl")).as("dls"),
+            col("bucket"))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(paths.fastDir)
       }
     }
-  }
-
-  /** The top-[[FastK]]-by-score prefix of one posting list, with an
-    * [[graft.engine.Wand.Eps]]-wide boundary: every posting whose RAW score
-    * reaches (FastK-th best − Eps) is kept, so quantization ties and
-    * last-ulp scalar-vs-Column float differences can never exclude a doc
-    * that the exact plan would rank into the top k ≤ FastK. Returns None
-    * when the tie set blows past [[FastListCap]] (that term falls back to
-    * the exact path — ties are never silently truncated).
-    */
-  private[graft] def fastPrefix(df: Long, p: Array[Byte], d: Array[Byte],
-      n: Long, avgdl: Double): Option[(Array[Long], Array[Int], Array[Long])] = {
-    val (ids, tfs, dls) = Postings.decode(p, d)
-    if (ids.length <= FastK) return Some((ids, tfs, dls))
-    val idf = Postings.idf(df, n)
-    val scores = new Array[Double](ids.length)
-    var i = 0
-    while (i < ids.length) {
-      scores(i) = idf * Postings.tfNorm(tfs(i), dls(i), avgdl); i += 1
-    }
-    val sorted = scores.clone()
-    java.util.Arrays.sort(sorted)
-    val boundary = sorted(sorted.length - FastK) - graft.engine.Wand.Eps
-    var cnt = 0
-    i = 0
-    while (i < scores.length) { if (scores(i) >= boundary) cnt += 1; i += 1 }
-    if (cnt > FastListCap) return None
-    val oi = new Array[Long](cnt); val ot = new Array[Int](cnt); val od = new Array[Long](cnt)
-    var o = 0
-    i = 0
-    while (i < scores.length) {
-      if (scores(i) >= boundary) { oi(o) = ids(i); ot(o) = tfs(i); od(o) = dls(i); o += 1 }
-      i += 1
-    }
-    Some((oi, ot, od))
   }
 
   /** Persist an [[IndexStats]] JSON (shared by full build + incremental).

@@ -40,35 +40,29 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fl.isDefined, "hot term 'func' (df = N) must have a fast list")
     val (df, ids, tfs, dls) = fl.get
     assert(df >= IndexBuilder.FastMinDf)
-    assert(ids.length >= IndexBuilder.FastK && ids.length <= IndexBuilder.FastListCap,
-      s"prefix size ${ids.length} outside [FastK, FastListCap]")
+    assert(ids.length === math.min(IndexBuilder.FastK.toLong, df).toInt,
+      s"prefix must be exactly min(FastK, df) entries, got ${ids.length}")
     assert(ids.length == tfs.length && ids.length == dls.length)
     assert(reader.fastList("handler_0_3").isEmpty, "rare term must fall back")
     assert(reader.fastList("zzznotfound").isEmpty, "absent term must fall back")
   }
 
-  test("fastPrefix keeps ALL boundary ties and refuses past the cap") {
-    val n = 100000L
-    val avgdl = 20.0
-    // 1000 docs: 400 with (tf=5, dl=10) — the tied top block — then 600
-    // with descending lower impact (tf=1, growing dl)
-    val ids = Array.tabulate(1000)(i => i.toLong * 3 + 1)
-    val tfs = Array.tabulate(1000)(i => if (i < 400) 5 else 1)
-    val dls = Array.tabulate(1000)(i => if (i < 400) 10L else 20L + i)
-    val e = Postings.encode("t", ids, tfs, dls, avgdl)
-    val out = IndexBuilder.fastPrefix(1000L, e.postings, e.dls, n, avgdl)
-    assert(out.isDefined)
-    val (oi, ot, _) = out.get
-    // FastK=300 < 400 tied docs: the ENTIRE tie set must be kept
-    assert(ot.count(_ == 5) == 400, "boundary ties were truncated")
-    assert(oi.length >= 400)
-    // all-tied list larger than the cap → no fast list (fallback, not truncation)
-    val bigIds = Array.tabulate(IndexBuilder.FastListCap + 1)(i => i.toLong + 1)
-    val bigTfs = Array.fill(IndexBuilder.FastListCap + 1)(5)
-    val bigDls = Array.fill(IndexBuilder.FastListCap + 1)(10L)
-    val eb = Postings.encode("t", bigIds, bigTfs, bigDls, avgdl)
-    assert(IndexBuilder.fastPrefix((IndexBuilder.FastListCap + 1).toLong,
-      eb.postings, eb.dls, n, avgdl).isEmpty)
+  test("prefix IS the final ranking's head: stored order == naive top-k order") {
+    // tie-dominated case: quantized hot-term scores collapse to a few
+    // values, so the top-k is decided by natural keys — the prefix must be
+    // selected and ordered by the SAME total order as the final ranking
+    val reader = IndexReader.get(spark, paths)
+    val (_, ids, _, _) = reader.fastList("func").get
+    val docs = spark.read.schema(IndexBuilder.DocsSchema).parquet(paths.docsDir)
+      .select("doc_id", "repo", "path", "commit").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val prefixKeys = ids.take(10).map(docs)
+    val naiveKeys = NaiveSearch.topK(spark,
+      graft.corpus.Corpus.corpus(spark, sfDir),
+      QuerySet.df(spark).filter(org.apache.spark.sql.functions.col("query_id") === "q01"))
+      .collect().map(r => (r.getString(2), r.getString(3), r.getString(4)))
+    assert(prefixKeys.toSeq === naiveKeys.toSeq,
+      "fast-list head diverged from the oracle plan's top-k order")
   }
 
   test("fast route engaged: q01 candidate count is the prefix size, not df") {
