@@ -89,8 +89,23 @@ object IndexSearch {
     */
   private def decodedForQueries(spark: SparkSession, reader: IndexReader, queries: DataFrame): DataFrame = {
     import spark.implicits._
-    val stats = reader.stats
     val terms = queries.select("term").distinct().as[String].collect().toSeq
+    decodedTermRows(spark, reader, terms, None)
+  }
+
+  /** Bucket-pruned scan + decode of the given terms' posting lists into
+    * `(term, df, doc_id, tf, dl)` rows — the shared decode front end of the
+    * index paths and the hybrid fast path. `wanted` (sorted docIds)
+    * restricts the EMITTED rows executor-side (binary search per posting,
+    * applied inside the decode flatMap) — the decode itself stays
+    * cache-resident either way; the filter removes the row-explosion +
+    * join + aggregation cost downstream.
+    */
+  private[engine] def decodedTermRows(
+      spark: SparkSession, reader: IndexReader,
+      terms: Seq[String], wanted: Option[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    val stats = reader.stats
     val meta = reader.termMeta(terms) // term -> (df, winning layer ordinal)
     val tag = reader.cacheTag
     val parts = meta.groupBy(_._2._2).toSeq.sortBy(_._1).map { case (ord, ts) =>
@@ -107,7 +122,11 @@ object IndexSearch {
         .mapPartitions { it =>
           it.flatMap { case (term, df, p, d, dir) =>
             val blocks = Postings.iterAll(PostingCache.open(s"$tag#L$ord", -1, term, df, p, d, dir))
-            blocks.map { case (id, tf, dl) => (term, df, id, tf, dl) }
+            val rows = blocks.map { case (id, tf, dl) => (term, df, id, tf, dl) }
+            wanted match {
+              case Some(ids) => rows.filter(r => java.util.Arrays.binarySearch(ids, r._3) >= 0)
+              case None => rows
+            }
           }
         }
         .toDF("term", "df", "doc_id", "tf", "dl")

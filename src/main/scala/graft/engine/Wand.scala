@@ -83,22 +83,45 @@ object Wand {
     val n = stats.nDocs
     val avgdl = stats.avgdl
 
-    // FAST PATH (v6 impact-ordered prefixes): an unscoped single-term query
-    // with k ≤ FastK whose term has a fast list is served from the
-    // top-FastK-by-score prefix — O(k) instead of O(df). Bench evidence for
-    // why: block-max pruning never fires on a flat score distribution (q01
-    // "func" evaluated all 598,902 candidates with 0 skips). The prefix
-    // contains every doc whose score can reach the top FastK (boundary kept
-    // with Eps slack at build), and scoring below reuses the SAME
-    // BM25.score Column expression as the naive/index plans — rank identity
-    // is by construction, and the shared oracle pins it.
-    val (fastQs, wandQs) = querySet.partition(q =>
-      scopeBc.isEmpty && q.terms.distinct.size == 1 &&
-        q.k <= graft.index.IndexBuilder.FastK &&
-        reader.fastList(q.terms.distinct.head).isDefined)
-    val fastCand: Option[DataFrame] = if (fastQs.isEmpty) None else {
-      val rows = fastQs.flatMap { q =>
-        val (df, ids, tfs, dls) = reader.fastList(q.terms.distinct.head).get
+    // FAST PATHS (v6 impact-ordered prefixes) — bench evidence for why:
+    // block-max pruning never fires on a flat score distribution (q01
+    // "func" evaluated all 598,902 candidates with 0 skips), so hot-term
+    // queries need a sublinear candidate set, not better bounds. Routing:
+    //
+    //  - `single`: one present term, fast-listed → serve the prefix
+    //    directly (driver-local rows, zero index jobs). O(k).
+    //  - `hybrid`: ≥2 present terms of which EXACTLY ONE is fast-listed
+    //    (the others have df < FastMinDf by definition) → candidates =
+    //    prefix(hot) ∪ full(rare terms). SOUND: any doc outside the union
+    //    contains ONLY the hot term and sits outside its prefix, so all
+    //    FastK prefix docs precede it in the final total order (their
+    //    totals only grow with rare-term contributions) — it cannot reach
+    //    the top k ≤ FastK. Exact scores come from decoding the hot list
+    //    RESTRICTED to the candidate set (executor-side binary-search
+    //    filter, no full row explosion) plus the full rare lists.
+    //    This serves the classic "rare identifier + common keyword" query
+    //    in O(k + Σ df_rare) instead of O(N).
+    //  - `wand`: everything else — scoped queries, k > FastK, and queries
+    //    with 2+ fast-listed terms (a doc containing several hot terms
+    //    could outrank both prefixes, so prefix unions are unsound there).
+    //
+    // All paths score with the SAME BM25.score Column expression and feed
+    // the same ranking tail — rank identity is by construction, and the
+    // shared oracle pins it.
+    val fastK = graft.index.IndexBuilder.FastK
+    val metaAll = reader.termMeta(querySet.flatMap(_.terms).distinct)
+    def presentOf(q: Query): Seq[String] = q.terms.distinct.filter(metaAll.contains)
+    def fastOf(q: Query): Seq[String] =
+      if (scopeBc.isEmpty && q.k <= fastK) presentOf(q).filter(t => reader.fastList(t).isDefined)
+      else Nil
+    val (fastSingleQs, rest) = querySet.partition(q =>
+      presentOf(q).size == 1 && fastOf(q).size == 1)
+    val (hybridQs, wandQs) = rest.partition(q =>
+      presentOf(q).size >= 2 && fastOf(q).size == 1)
+
+    val fastCand: Option[DataFrame] = if (fastSingleQs.isEmpty) None else {
+      val rows = fastSingleQs.flatMap { q =>
+        val (df, ids, tfs, dls) = reader.fastList(presentOf(q).head).get
         metrics.foreach(_.candidates.add(ids.length.toLong))
         ids.indices.map(i => (q.queryId, q.k, ids(i), tfs(i), dls(i), df))
       }
@@ -108,19 +131,38 @@ object Wand {
             lit(n), lit(avgdl)).as("score")))
     }
 
-    val allTerms = wandQs.flatMap(_.terms).distinct
-    val meta = reader.termMeta(allTerms) // term -> (df, winning layer ordinal)
+    val hybridCand: Option[DataFrame] = if (hybridQs.isEmpty) None else Some(
+      hybridQs.map { q =>
+        val present = presentOf(q)
+        val hot = fastOf(q).head
+        val rare = present.filterNot(_ == hot)
+        val rareRows = IndexSearch.decodedTermRows(spark, reader, rare, None)
+        val rareIds = rareRows.select("doc_id").distinct().as[Long].collect()
+        val prefixIds = reader.fastList(hot).get._2
+        val wanted = (prefixIds ++ rareIds).distinct.sorted
+        metrics.foreach(_.candidates.add(wanted.length.toLong))
+        val hotRows = IndexSearch.decodedTermRows(spark, reader, Seq(hot), Some(wanted))
+        hotRows.unionByName(rareRows)
+          .select(lit(q.queryId).as("query_id"), lit(q.k).as("k"), col("doc_id"),
+            graft.score.BM25.score(col("tf"), col("df"), col("dl"),
+              lit(n), lit(avgdl)).as("s"))
+          .groupBy("query_id", "k", "doc_id")
+          .agg(sum(col("s")).as("score"))
+      }.reduce(_ unionByName _))
+
+    val meta = metaAll.view.filterKeys(wandQs.flatMap(_.terms).toSet).toMap
     val dfMap: Map[String, Long] = meta.map { case (t, (d, _)) => t -> d }
 
     val qByIdLocal = wandQs.map(q => q.queryId -> q).toMap
     val cacheTag = reader.cacheTag
 
-    if (meta.isEmpty && fastCand.isEmpty) // every term absent: the 404-with-null-results analog
+    val nonWand: Seq[DataFrame] = (fastCand ++ hybridCand).toSeq
+    if (meta.isEmpty && nonWand.isEmpty) // every term absent: the 404-with-null-results analog
       return spark.emptyDataset[(String, Int, String, String, String, Double)]
         .toDF("query_id", "rank", "repo", "path", "commit", "score_r")
     if (meta.isEmpty) {
       val docsF = reader.docs.select("doc_id", "repo", "path", "commit")
-      return NaiveSearch.rankByKeys(fastCand.get.join(docsF, "doc_id"))
+      return NaiveSearch.rankByKeys(nonWand.reduce(_ unionByName _).join(docsF, "doc_id"))
     }
 
     // segments are partitioned by (salt, bucket): the bucket IN filter
@@ -173,7 +215,7 @@ object Wand {
       }
       .toDF("query_id", "k", "doc_id", "score")
 
-    val allCand = fastCand.fold(candidates)(f => candidates.unionByName(f))
+    val allCand = (Seq(candidates) ++ nonWand).reduce(_ unionByName _)
     val docs = reader.docs.select("doc_id", "repo", "path", "commit")
     NaiveSearch.rankByKeys(allCand.join(docs, "doc_id"))
   }

@@ -85,6 +85,30 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want, "fast-path-mixed serving diverged from the oracle plan")
   }
 
+  test("hybrid hot+rare query serves from prefix ∪ rare lists, not O(N)") {
+    // the classic "rare identifier + common keyword" shape (q06): exactly
+    // one fast-listed term → candidates = prefix(hot) ∪ full(rare); any
+    // other doc is hot-only outside the prefix and dominated by all FastK
+    // prefix docs in the final total order
+    val reader = IndexReader.get(spark, paths)
+    val q = Query("hyb", Seq("func", "handler_0_3"), 10)
+    val m = QueryMetrics(spark)
+    val got = Wand.topKAt(spark, paths, Seq(q), Some(m)).collect()
+    val hotDf = reader.fastList("func").get._1
+    assert(m.candidates.value > 0L && m.candidates.value < hotDf / 2,
+      s"hybrid path not engaged: evaluated ${m.candidates.value} of df=$hotDf")
+    // rank-identical to the naive oracle plan on the same query
+    val s = spark; import s.implicits._
+    val want = NaiveSearch.topK(spark, graft.corpus.Corpus.corpus(spark, sfDir),
+      Seq(("hyb", "func", 10), ("hyb", "handler_0_3", 10)).toDF("query_id", "term", "k")).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))
+    assert(got.map(key).toSeq === want.map(key).toSeq)
+    // duplicate terms collapse before routing (still the single-term path)
+    val dup = Wand.topKAt(spark, paths, Seq(Query("mm", Seq("func", "func"), 5))).collect()
+    assert(dup.map(_.getInt(1)).toSeq === (1 to 5))
+  }
+
   test("k > FastK falls back to the exact path (and still matches naive)") {
     val q = Query("big", Seq("func"), IndexBuilder.FastK + 1)
     val m = QueryMetrics(spark)
