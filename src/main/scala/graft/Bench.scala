@@ -150,13 +150,12 @@ object Bench {
     val paths = IndexPaths(indexRoot)
     deleteTree(indexRoot)
     val t0Nanos = System.nanoTime()
-    val cpusUsed = spark.sparkContext.defaultParallelism
     // executor CPU time per phase: utilization = cpu/(wall×cores) is the
     // steal/disk-burst-immune signal (see BASELINE.md scaling analysis)
     val cpu = new CpuTimeListener
     spark.sparkContext.addSparkListener(cpu)
     val cores = spark.sparkContext.defaultParallelism
-    val samplesPath = Paths.get(s"bench/samples_${sfName}_cpus$cpusUsed.jsonl")
+    val samplesPath = Paths.get(s"bench/samples_${sfName}_cpus$cores.jsonl")
     val log = new SampleLog(samplesPath, t0Nanos, cpu, spark.sparkContext)
 
     val (stats, tBuild) = time {

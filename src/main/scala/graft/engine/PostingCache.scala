@@ -40,10 +40,21 @@ object PostingCache {
     * stripe still evicts only under its own lock (within the accessed
     * stripe), so the striping's contention win is unchanged; the global
     * total is a lock-free atomic.
+    *
+    * FAIR-SHARE FLOOR: eviction drains the accessed stripe only while it
+    * holds MORE than `maxPostings / NumStripes` — without the floor, a hot
+    * stripe pinned at the whole budget (whose hits never evict) would make
+    * every miss in every OTHER stripe drain that stripe to ~1 entry
+    * forever (re-introducing the round-1 repeated-decode pattern for all
+    * non-hot terms). With the floor, each stripe always retains up to its
+    * fair share; the worst-case total is therefore bounded by
+    * `2 × maxPostings` (one over-full stripe + 15 fair shares), which is
+    * the documented memory bound.
     */
   private val totalHeld = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private final class Stripe {
+    var held: Long = 0L
     val lru = new JLinkedHashMap[String, Postings.PostingsBlocks](128, 0.75f, true)
   }
 
@@ -67,15 +78,21 @@ object PostingCache {
       val race = s.lru.get(key)
       if (race != null) return race
       s.lru.put(key, blocks)
+      s.held += blocks.count
       totalHeld.addAndGet(blocks.count)
-      // evict within THIS stripe while the GLOBAL total is over budget; if
-      // the stripe drains first, the remaining excess is evicted by whichever
-      // over-full stripe is accessed next (total bound is eventually enforced,
-      // and a lone hot stripe may legitimately hold the whole budget)
+      // evict within THIS stripe while the GLOBAL total is over budget, but
+      // never below the stripe's fair share (see class doc: the floor keeps
+      // one over-full hot stripe from starving every other stripe; a lone
+      // hot stripe may still hold the whole budget)
+      val fairShare = math.max(1L, maxPostings / NumStripes)
       val it = s.lru.entrySet().iterator()
-      while (totalHeld.get() > maxPostings && it.hasNext) {
+      while (totalHeld.get() > maxPostings && s.held > fairShare && it.hasNext) {
         val e = it.next()
-        if (e.getKey != key) { totalHeld.addAndGet(-e.getValue.count); it.remove() }
+        if (e.getKey != key) {
+          s.held -= e.getValue.count
+          totalHeld.addAndGet(-e.getValue.count)
+          it.remove()
+        }
       }
       blocks
     }
@@ -89,7 +106,11 @@ object PostingCache {
       val it = s.lru.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.startsWith(rootPrefix)) { totalHeld.addAndGet(-e.getValue.count); it.remove() }
+        if (e.getKey.startsWith(rootPrefix)) {
+          s.held -= e.getValue.count
+          totalHeld.addAndGet(-e.getValue.count)
+          it.remove()
+        }
       }
     }
   }

@@ -28,9 +28,10 @@ object SearchApi {
     * served by the block-max WAND path (rank-identical to the full-scoring
     * plan — WandSpec + the shared oracle pin it — and the cheaper plan:
     * block-lazy decode + heap-threshold skipping instead of full posting
-    * materialization).
-    */
-  /** `repoScope`: query-time corpus restriction to the given repos — the
+    * materialization; hot terms route to the v6 impact-ordered fast lists,
+    * see [[Wand.topKAt]]).
+    *
+    * `repoScope`: query-time corpus restriction to the given repos — the
     * engine analog of the reference's `allow_external_links` query scoping
     * (`README.md:41`, external-host links excluded at query time). The
     * predicate reaches the WAND candidate filter (OR path) / the docs join

@@ -136,13 +136,17 @@ object Wand {
         val present = presentOf(q)
         val hot = fastOf(q).head
         val rare = present.filterNot(_ == hot)
-        val rareRows = IndexSearch.decodedTermRows(spark, reader, rare, None)
-        val rareIds = rareRows.select("doc_id").distinct().as[Long].collect()
+        // rare lists are < FastMinDf postings each BY DEFINITION (a bigger
+        // term would be fast-listed) — collect them ONCE and reuse for both
+        // the wanted-id set and the scoring rows, instead of running the
+        // decode scan twice (one job, bounded driver footprint)
+        val rareLocal = IndexSearch.decodedTermRows(spark, reader, rare, None)
+          .as[(String, Long, Long, Int, Long)].collect()
         val prefixIds = reader.fastList(hot).get._2
-        val wanted = (prefixIds ++ rareIds).distinct.sorted
+        val wanted = (prefixIds ++ rareLocal.map(_._3)).distinct.sorted
         metrics.foreach(_.candidates.add(wanted.length.toLong))
         val hotRows = IndexSearch.decodedTermRows(spark, reader, Seq(hot), Some(wanted))
-        hotRows.unionByName(rareRows)
+        hotRows.unionByName(rareLocal.toSeq.toDF("term", "df", "doc_id", "tf", "dl"))
           .select(lit(q.queryId).as("query_id"), lit(q.k).as("k"), col("doc_id"),
             graft.score.BM25.score(col("tf"), col("df"), col("dl"),
               lit(n), lit(avgdl)).as("s"))

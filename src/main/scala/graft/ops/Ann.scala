@@ -61,11 +61,12 @@ object Ann {
     * cannot run the O(n²) BroadcastNestedLoopJoin against a real corpus.
     */
   def cosinePairs(emb: DataFrame): DataFrame = {
-    val n = emb.count()
-    if (n > MaxBruteRows)
+    // limit-bounded probe: the guard itself must not pay a full O(n) pass
+    // over a possibly-expensive lineage just to count it
+    if (emb.limit(MaxBruteRows.toInt + 1).count() > MaxBruteRows)
       throw new IllegalArgumentException(
-        s"cosinePairs is the all-pairs oracle path, capped at $MaxBruteRows rows; " +
-          s"got $n — use cosineLshPairs (blocked candidates) at scale")
+        s"cosinePairs is the all-pairs oracle path, capped at $MaxBruteRows rows " +
+          "— use cosineLshPairs (blocked candidates) at scale")
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
     val cos = cosine(col("ea"), col("eb"))

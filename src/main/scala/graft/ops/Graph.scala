@@ -73,12 +73,18 @@ object Graph {
     */
   def linkEdges(corpus: DataFrame): DataFrame = {
     val nodes = docNodes(corpus)
-    val canon = canonicalProviders(nodes)
-      .withColumn("prev_cust", (col("cust") + lit(CustModulus) - 1) % CustModulus)
-      .select(col("repo"), col("prev_cust").as("cust"), col("canon_id"))
-    nodes.join(canon, Seq("repo", "cust"))
-      .select(col("doc_id").as("src_id"), col("canon_id").as("dst_id"))
+    edgesFrom(nodes, canonicalProviders(nodes))
   }
+
+  /** The single definition of the edge join — [[linkEdges]] and
+    * [[reachBfs]] must never drift apart on the link semantics.
+    */
+  private def edgesFrom(nodes: DataFrame, canon: DataFrame): DataFrame =
+    nodes.join(
+      canon.withColumn("prev_cust", (col("cust") + lit(CustModulus) - 1) % CustModulus)
+        .select(col("repo"), col("prev_cust").as("cust"), col("canon_id")),
+      Seq("repo", "cust"))
+      .select(col("doc_id").as("src_id"), col("canon_id").as("dst_id"))
 
   /** Depth-bounded BFS from `roots` (root_id, doc_id) over `edges`
     * (src_id, dst_id): returns (root_id, doc_id, depth) for every node
@@ -133,19 +139,17 @@ object Graph {
     val nodes = docNodes(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = canonicalProviders(nodes)
-    val edges = nodes
-      .join(canon.withColumn("prev_cust", (col("cust") + lit(CustModulus) - 1) % CustModulus)
-        .select(col("repo"), col("prev_cust").as("cust"), col("canon_id")),
-        Seq("repo", "cust"))
-      .select(col("doc_id").as("src_id"), col("canon_id").as("dst_id"))
+    val edges = edgesFrom(nodes, canon)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val roots = canon.filter(col("cust") === 0 && col("repo").isin(RootRepos: _*))
       .select(col("canon_id").as("root_id"), col("canon_id").as("doc_id"))
 
-    val fwd = reach(edges, roots, maxDepth).withColumn("direction", lit("out"))
-    val rev = reach(
+    val fwdReach = reach(edges, roots, maxDepth)
+    val revReach = reach(
       edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
-      roots, maxDepth).withColumn("direction", lit("in"))
+      roots, maxDepth)
+    val fwd = fwdReach.withColumn("direction", lit("out"))
+    val rev = revReach.withColumn("direction", lit("in"))
 
     val rootKeys = nodes.select(col("doc_id").as("root_id"),
       col("repo").as("root_repo"), col("path").as("root_path"))
@@ -156,7 +160,9 @@ object Graph {
       .select(col("direction"), col("root_repo"), col("root_path"), col("path"), col("depth"))
       .orderBy("direction", "root_repo", "root_path", "path")
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    nodes.unpersist(); edges.unpersist()
+    // release every intermediate persist — only `out` (materialized above)
+    // stays resident; a long-lived session must not accumulate BFS levels
+    nodes.unpersist(); edges.unpersist(); fwdReach.unpersist(); revReach.unpersist()
     out
   }
 }

@@ -60,6 +60,17 @@ class AsyncBuildSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = graft.engine.SearchApi.search(spark, paths, Seq("func"), 5)
     assert(hits.count() === 5)
   }
+
+  test("ensureAsync shares ensure()'s path scheme and converges on the same root") {
+    // trigger-or-reuse by sf dir: await the async result FIRST, then the
+    // synchronous ensure must find the same complete root (cache-hit path)
+    val (ePaths, ef) = IndexBuilder.ensureAsync(spark, "/root/testdata/sf0.001")
+    val eStats = scala.concurrent.Await.result(ef, 10.minutes)
+    assert(eStats.nDocs > 0L)
+    val (sPaths, sStats) = IndexBuilder.ensure(spark, "/root/testdata/sf0.001")
+    assert(sPaths.root === ePaths.root, "ensureAsync diverged from ensure()'s root scheme")
+    assert(sStats.nDocs === eStats.nDocs)
+  }
 }
 
 object AsyncBuildSpec {
