@@ -172,9 +172,13 @@ object Bench {
     System.err.println(s"[bench] naive set done in $tNaive s")
 
     // Build + naive leave a heap full of garbage (posting buffers, shuffle
-    // blocks). One explicit full GC here separates "build garbage collected
-    // during the latency loop" (fixable hygiene, this line) from "GC caused
-    // by the queries themselves" (a real serving cost, visible per sample).
+    // blocks) AND the naive plan's persisted tf relation (NaiveSearch
+    // persists it for its four consumers; nothing downstream uses it).
+    // Drop every persisted RDD — the reader has not opened yet, so this is
+    // a clean slate — then one explicit full GC separates "build garbage
+    // collected during the latency loop" (hygiene, these lines) from "GC
+    // caused by the queries themselves" (a real cost, visible per sample).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     val (_, tGcFence) = time(System.gc())
     log.note("gc_fence", s""""after":"build+naive","wall_s":${f"$tGcFence%.3f"},"heap_mb":${heapUsedMb()}""")
     System.err.println(s"[bench] post-build GC fence: $tGcFence s")
