@@ -195,6 +195,11 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => graft.ops.TextOps.langId(graft.ops.TextOps.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => graft.ops.TextOps.fingerprint(graft.ops.TextOps.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => graft.ops.Dedup.exact(graft.ops.TextOps.documents(s, dir))),
+    // MOSS-style winnowing: rolling k-gram hashes → min-per-window
+    // fingerprints (substring-level dedup, robust to tokenization), plus
+    // the blocked near-dup pairs over them.
+    "text_winnow" -> ((s, dir) => graft.ops.TextOps.winnow(graft.ops.TextOps.documents(s, dir))),
+    "dedup_winnow" -> ((s, dir) => graft.ops.Dedup.winnowPairs(graft.ops.TextOps.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => graft.ops.Dedup.ngramJaccardPairs(graft.ops.TextOps.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => graft.ops.Dedup.minhashLshPairs(graft.ops.TextOps.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => graft.ops.Dedup.simhashPairs(graft.ops.TextOps.documents(s, dir))),
@@ -436,6 +441,8 @@ object SparkEntry {
     "text_langid" -> graft.ops.OpsOracleSql.langId,
     "text_fingerprint" -> graft.ops.OpsOracleSql.fingerprint,
     "dedup_exact" -> graft.ops.OpsOracleSql.dedupExact,
+    "text_winnow" -> graft.ops.OpsOracleSql.textWinnow,
+    "dedup_winnow" -> graft.ops.OpsOracleSql.dedupWinnow,
     "dedup_ngram_jaccard" -> graft.ops.OpsOracleSql.ngramJaccard,
     "dedup_minhash_lsh" -> graft.ops.OpsOracleSql.minhashLsh,
     "dedup_simhash" -> graft.ops.OpsOracleSql.simhashPairs,

@@ -111,6 +111,29 @@ object Dedup {
     jaccardOnCandidates(ex, candidates).orderBy("ida", "idb")
   }
 
+  /** Winnowing near-dup pairs: MOSS-style fingerprints
+    * ([[TextOps.winnowFingerprints]]) as the blocking key — pairs sharing
+    * ≥1 non-ubiquitous fingerprint (df ≤ [[MaxShingleDf]]) are verified
+    * with the exact Jaccard over FULL fingerprint sets. Same scale shape as
+    * the n-gram path (equi-join blocking, candidates-only verification),
+    * but substring-based instead of token-based: robust to tokenization
+    * differences and partial overlaps ≥ k + w − 1 chars.
+    */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(TextOps.winnowFingerprints(col("text"))).as("shingle"))
+    val rare = ex.join(
+      ex.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= MaxShingleDf).select("shingle"),
+      "shingle")
+    val a = rare.as("a"); val b = rare.as("b")
+    val candidates = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    jaccardOnCandidates(ex, candidates).orderBy("ida", "idb")
+  }
+
   /** MinHash signatures: K min-sha256 values per doc (portable "hash
     * functions": min over sha256(k + ":" + shingle) hex strings — a
     * lexicographic min of hex IS a numeric min of the 256-bit hash).

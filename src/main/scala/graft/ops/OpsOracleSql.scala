@@ -83,6 +83,67 @@ object OpsOracleSql {
        #       count(*) OVER (PARTITION BY text_sha) AS group_size
        #FROM s ORDER BY doc_id""".stripMargin('#')
 
+  /** Winnowing fingerprints (mirrors [[TextOps.winnowFingerprints]]):
+    * rolling k-gram sha256 prefixes, min per w-window, distinct + sorted.
+    * DuckDB list slicing `h[i : i+w-1]` is INCLUSIVE both ends = Spark
+    * `slice(h, i, w)`; `range(1, x)` is end-exclusive = Spark
+    * `sequence(1, x-1)`.
+    */
+  private val winnowCtes: String = {
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    s"""wh AS MATERIALIZED (
+       #  SELECT doc_id,
+       #    CASE WHEN length(text) >= $k
+       #      THEN list_transform(range(1, CAST(length(text) - ${k - 1} + 1 AS BIGINT)),
+       #                          i -> substr(sha256(substr(text, CAST(i AS INTEGER), $k)), 1, 16))
+       #      ELSE [] END AS h
+       #  FROM documents
+       #),
+       #wfp AS MATERIALIZED (
+       #  SELECT doc_id,
+       #    CASE WHEN len(h) >= $w
+       #      THEN list_sort(list_distinct(list_transform(range(1, CAST(len(h) - ${w - 1} + 1 AS BIGINT)),
+       #                          i -> list_aggregate(h[CAST(i AS INTEGER):CAST(i + ${w - 1} AS INTEGER)], 'min'))))
+       #      WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+       #      ELSE [] END AS fps
+       #  FROM wh
+       #),
+       #wex AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM wfp)""".stripMargin('#')
+  }
+
+  val textWinnow: String =
+    s"""WITH $winnowCtes
+       #SELECT doc_id, fp AS fingerprint FROM wex ORDER BY doc_id, fingerprint""".stripMargin('#')
+
+  val dedupWinnow: String =
+    s"""WITH $winnowCtes,
+       #wrare AS MATERIALIZED (
+       #  SELECT s.doc_id, s.fp FROM wex s
+       #  JOIN (SELECT fp FROM wex GROUP BY fp HAVING count(*) <= ${Dedup.MaxShingleDf}) r
+       #  USING (fp)
+       #),
+       #wcand AS MATERIALIZED (
+       #  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       #  FROM wrare a JOIN wrare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       #),
+       #winter AS MATERIALIZED (
+       #  SELECT c.ida, c.idb, count(*) AS n_common
+       #  FROM wcand c
+       #  JOIN wex a ON a.doc_id = c.ida
+       #  JOIN wex b ON b.doc_id = c.idb AND b.fp = a.fp
+       #  GROUP BY c.ida, c.idb
+       #),
+       #wsz AS MATERIALIZED (SELECT doc_id, len(fps) AS n FROM wfp),
+       #wjac AS MATERIALIZED (
+       #  SELECT ida, idb,
+       #         CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jacv
+       #  FROM winter JOIN wsz sa ON sa.doc_id = ida JOIN wsz sb ON sb.doc_id = idb
+       #)
+       #SELECT ida, idb, ${q("jacv")} AS jac_r FROM wjac
+       #WHERE jacv >= ${Dedup.JaccardThreshold}
+       #ORDER BY ida, idb""".stripMargin('#')
+
   /** Exact full-set Jaccard restricted to a `cand(ida, idb)` CTE — mirrors
     * [[Dedup.jaccardOnCandidates]]: verification never re-runs the
     * corpus-wide shingle self-join.

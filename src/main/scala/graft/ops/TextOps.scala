@@ -80,6 +80,42 @@ object TextOps {
     * (`canonical_id` = min doc_id). The "document fingerprinting" dedup
     * primitive; rolling-hash variants reduce to the same groupBy shape.
     */
+  /** Winnowing constants (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+    * k-gram size and window width. A document's fingerprint set is the
+    * distinct minima of each w-window over the rolling k-gram hash
+    * sequence — guarantees any shared substring of length ≥ k + w − 1
+    * yields at least one shared fingerprint.
+    */
+  val WinnowK: Int = 8
+  val WinnowW: Int = 4
+
+  /** Sorted distinct winnowing fingerprints of a text column — pure Column
+    * expressions (higher-order transform over position sequences — no UDF,
+    * no per-doc window operator), so the work is codegen'd and embarrassingly
+    * parallel per document. Hashes are the first 16 hex chars of
+    * sha256(k-gram) (lexicographic min of hex == numeric min, same trick as
+    * [[Dedup.minhashSignatures]]); docs shorter than k yield an empty set,
+    * docs with fewer than w grams collapse to the single global minimum.
+    */
+  def winnowFingerprints(text: Column): Column = {
+    val n = length(text)
+    val h = when(n >= WinnowK,
+      transform(sequence(lit(1), (n - (WinnowK - 1)).cast("int")),
+        i => sha2(text.substr(i, lit(WinnowK)), 256).substr(lit(1), lit(16))))
+      .otherwise(array().cast("array<string>"))
+    val m = size(h)
+    when(m >= WinnowW,
+      array_sort(array_distinct(transform(sequence(lit(1), m - (WinnowW - 1)),
+        i => array_min(slice(h, i, lit(WinnowW)))))))
+      .when(m > 0, array(array_min(h)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, fingerprint) — one row per winnowing fingerprint per doc. */
+  def winnow(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(winnowFingerprints(col("text"))).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+
   def fingerprint(docs: DataFrame): DataFrame = {
     // groupBy + join back, not Window.partitionBy(fingerprint): a window
     // funnels each fingerprint group through one task — fatal exactly on the
