@@ -22,9 +22,13 @@ object CrossCheck {
     def key(r: Row) =
       (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))
     val (paths, _) = IndexBuilder.ensure(spark, sfDir)
+    // sort both sides by (query_id, rank) BEFORE comparing: rankByKeys ends
+    // without an ORDER BY, so collect() order is partition-iteration order —
+    // rank-identical results must not diverge on plan-dependent row order
     val serve = Wand.topKAt(spark, paths, QuerySet.all).collect().map(key)
+      .sortBy(r => (r._1, r._2))
     val naive = NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark))
-      .collect().map(key)
+      .collect().map(key).sortBy(r => (r._1, r._2))
     val ok = serve.toSeq == naive.toSeq
     println(s"""{"metric":"crosscheck","rows":${serve.length},"naive_rows":${naive.length},"identical":$ok,"sf":"$sfDir"}""")
     if (!ok) {

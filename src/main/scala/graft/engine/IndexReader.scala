@@ -87,19 +87,21 @@ final case class IndexReader(
   def dfOf(terms: Seq[String]): Map[String, Long] =
     termMeta(terms).map { case (t, (d, _)) => t -> d }
 
-  // repo-scope key -> broadcast sorted docId array (see scopedDocIds)
-  private val scopeCache = TrieMap.empty[String, org.apache.spark.broadcast.Broadcast[Array[Long]]]
+  // repo-scope key -> broadcast scope probe (see scopeProbe)
+  private[engine] val scopeCache = TrieMap.empty[String, ScopeProbe]
 
   // term -> its fast-list row, or None (no fast list / absent term)
-  private val fastCache = TrieMap.empty[String, Option[(Long, Array[Long], Array[Int], Array[Long])]]
+  private val fastCache = TrieMap.empty[String, Option[FastList]]
 
-  /** The impact-ordered top-k prefix of one term (v6 `fast/` sidecar):
-    * `(df, doc_ids, tfs, dls)` — present only for hot terms of a
-    * single-exact-layer root. Driver-cached per reader: one bucket-pruned
-    * probe per distinct term, then zero Spark jobs (the prefix is
+  /** The impact-ordered top-k prefix of one term (`fast/` sidecar): parallel
+    * arrays in the FINAL total order, v7 including the natural doc keys —
+    * present only for hot terms (df ≥ [[IndexBuilder.FastMinDf]]). Layered
+    * roots serve the sidecar rebuilt at the CURRENT avgdl by the last
+    * addBatch/compact. Driver-cached per reader: one bucket-pruned probe per
+    * distinct term, then zero Spark jobs (the prefix is
     * [[IndexBuilder.FastK]]-sized — termMeta-sized, not postings-sized).
     */
-  def fastList(term: String): Option[(Long, Array[Long], Array[Int], Array[Long])] =
+  def fastList(term: String): Option[FastList] =
     fast match {
       case None => None
       case Some(f) =>
@@ -107,34 +109,106 @@ final case class IndexReader(
           import f.sparkSession.implicits._
           f.filter(col("bucket") === TermHash.bucket(term, stats.numBuckets))
             .filter(col("term") === term)
-            .select("df", "doc_ids", "tfs", "dls")
-            .as[(Long, Array[Long], Array[Int], Array[Long])]
+            .select("df", "doc_ids", "tfs", "dls", "repos", "paths", "commits")
+            .as[(Long, Array[Long], Array[Int], Array[Long], Array[String], Array[String], Array[String])]
             .collect().headOption
+            .map { case (df, ids, tfs, dls, repos, paths, commits) =>
+              FastList(df, ids, tfs, dls, repos, paths, commits)
+            }
         })
     }
 
-  /** Broadcast SORTED docId array of the docs in `repos` — the query-scoped
-    * corpus restriction's membership structure (binary search per
-    * candidate). Cached per reader + scope key: the one docs-sidecar scan it
-    * costs runs once per distinct scope, then scoped queries plan with zero
-    * extra jobs. Selective scopes broadcast like dimension tables; a scope
-    * that outgrows broadcast size belongs in a Bloom filter instead (scale
-    * note in [[Wand.topKAt]]).
+  /** Membership structure for the query-scoped corpus restriction, cached
+    * per reader + scope key (the one docs-sidecar scan it costs runs once
+    * per distinct scope, then scoped queries plan with zero extra jobs).
+    *
+    * Two regimes, chosen by measured scope size:
+    *  - up to [[IndexReader.scopeExactMax]] docs -> a broadcast SORTED docId
+    *    array, binary search per candidate: EXACT (selective scopes
+    *    broadcast like dimension tables);
+    *  - larger -> a broadcast Bloom filter (fpp [[IndexReader.ScopeBloomFpp]]):
+    *    no false negatives, so every in-scope doc is still evaluated; the
+    *    rare false positive is removed EXACTLY in the ranking tail (the
+    *    docs join re-filters by repo). The residual risk is only that an FP
+    *    transiently occupies a shard-heap slot and lifts that shard's prune
+    *    threshold past a boundary true hit — probability ≈ fpp × evaluated
+    *    candidates per query, the standard bloom-scoping tradeoff at corpus
+    *    sizes where an id-array broadcast (8 B/doc) stops fitting.
     */
-  def scopedDocIds(repos: Seq[String]): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+  def scopeProbe(repos: Seq[String]): ScopeProbe = {
     val key = repos.distinct.sorted.mkString("\u0000")
     scopeCache.getOrElseUpdate(key, {
       val spark = docs.sparkSession
       import spark.implicits._
-      val ids = docs.filter(col("repo").isin(repos.distinct: _*))
-        .select("doc_id").as[Long].collect()
-      java.util.Arrays.sort(ids)
-      spark.sparkContext.broadcast(ids)
+      val scoped = docs.filter(col("repo").isin(repos.distinct: _*)).select("doc_id")
+      val n = scoped.count()
+      if (n <= IndexReader.scopeExactMax) {
+        val ids = scoped.as[Long].collect()
+        java.util.Arrays.sort(ids)
+        ExactScope(spark.sparkContext.broadcast(ids))
+      } else {
+        BloomScope(spark.sparkContext.broadcast(
+          scoped.stat.bloomFilter("doc_id", n, IndexReader.ScopeBloomFpp)))
+      }
     })
   }
 }
 
+/** One term's driver-resident impact-ordered prefix (v7 fast sidecar):
+  * parallel arrays, already in the final (score_r desc, key asc) order.
+  */
+final case class FastList(
+    df: Long, ids: Array[Long], tfs: Array[Int], dls: Array[Long],
+    repos: Array[String], paths: Array[String], commits: Array[String])
+
+/** Executor-shippable scope membership probe (see [[IndexReader.scopeProbe]]).
+  * `exact` tells the ranking tail whether an FP re-filter is needed.
+  */
+sealed trait ScopeProbe extends Serializable {
+  def exact: Boolean
+  /** A serializable membership function (built so the closure captures the
+    * broadcast handle, not the whole probe).
+    */
+  def fn: Long => Boolean
+  def destroy(): Unit
+}
+
+final case class ExactScope(
+    ids: org.apache.spark.broadcast.Broadcast[Array[Long]]) extends ScopeProbe {
+  override def exact: Boolean = true
+  override def fn: Long => Boolean = {
+    val bc = ids
+    d => java.util.Arrays.binarySearch(bc.value, d) >= 0
+  }
+  override def destroy(): Unit = ids.destroy()
+}
+
+final case class BloomScope(
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) extends ScopeProbe {
+  override def exact: Boolean = false
+  override def fn: Long => Boolean = {
+    val bc = bloom
+    d => bc.value.mightContainLong(d)
+  }
+  override def destroy(): Unit = bloom.destroy()
+}
+
 object IndexReader {
+
+  /** Scope sizes up to this many docIds use the exact broadcast-array probe;
+    * larger scopes fall back to a Bloom filter (see [[IndexReader.scopeProbe]]).
+    * Default 4M ids = 32 MB broadcast — comfortably a "dimension table".
+    * A `var` (env-seeded) so specs can force the bloom regime at tiny sf;
+    * production tuning goes through `GRAFT_SCOPE_EXACT_MAX`.
+    */
+  @volatile var scopeExactMax: Long =
+    sys.env.get("GRAFT_SCOPE_EXACT_MAX").map(_.toLong).getOrElse(4L * 1024 * 1024)
+
+  /** False-positive rate of the bloom scope probe — at 1e-6, an FP among a
+    * query's ~10^4 evaluated candidates is a ~1% event, and each FP is still
+    * removed exactly in the ranking tail's repo re-filter.
+    */
+  val ScopeBloomFpp: Double = 1e-6
 
   // keyed by (session identity, root): DataFrames are bound to the session
   // that created them. Entries for STOPPED sessions are evicted on access
@@ -192,7 +266,7 @@ object IndexReader {
           .reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
         IndexReader(paths, stats, snap.version, layers, docs,
           cacheTag(paths, stats, snap.version),
-          fastFor(spark, if (snap.indexDirs.size == 1) Some(snap.indexDirs.head) else None))
+          fastFor(spark, Some(snap.indexDirs.last)))
 
       case None =>
         val stats = IndexBuilder.open(paths)
@@ -204,13 +278,17 @@ object IndexReader {
           docs, cacheTag(paths, stats, 0), fastFor(spark, Some(paths.indexDir)))
     }
 
-  /** Fast sidecar of a SINGLE-exact-layer root (None otherwise): layered
-    * roots must not serve base-layer prefixes — their scores were ranked at
-    * the base avgdl and tfNorm order is not avgdl-stable; compaction
-    * rebuilds the sidecar at the current stats.
+  /** Fast sidecar beside the NEWEST layer's index dir. v7 invariant: every
+    * publish path writes (or rebuilds) the sidecar next to the newest index
+    * dir at the CURRENT stats — full build and compact via
+    * [[IndexBuilder.buildPostingsPhases]], incremental adds via the
+    * [[graft.index.Incremental.addBatch]] whole-sidecar re-rank (tfNorm
+    * ORDER is not avgdl-stable, so prefixes ranked at an older avgdl must
+    * never be served). Absent `_SUCCESS` (a pre-v7 or hand-assembled root)
+    * disables the fast route rather than serving a stale order.
     */
-  private def fastFor(spark: SparkSession, singleIndexDir: Option[String]): Option[DataFrame] =
-    singleIndexDir.flatMap { idx =>
+  private def fastFor(spark: SparkSession, newestIndexDir: Option[String]): Option[DataFrame] =
+    newestIndexDir.flatMap { idx =>
       val dir = graft.index.IndexPaths.fastDirFor(idx)
       if (Files.exists(Paths.get(s"$dir/_SUCCESS")))
         Some(spark.read.schema(IndexBuilder.FastSchema).parquet(dir)
@@ -247,6 +325,14 @@ object IndexReader {
           r.docs.unpersist()
           r.fast.foreach(_.unpersist())
         }
+        // scope probes are broadcasts, not persisted plans: destroy them so
+        // a long-lived serving session with many distinct scopes does not
+        // accumulate executor broadcast blocks across rebuilds (round-4
+        // advice); safe even when the context is stopped (no-op then).
+        r.scopeCache.values.foreach { probe =>
+          try probe.destroy() catch { case _: Exception => () }
+        }
+        r.scopeCache.clear()
       }
     }
     PostingCache.invalidatePrefix(root)

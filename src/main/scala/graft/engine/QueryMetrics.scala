@@ -23,23 +23,36 @@ import org.apache.spark.util.LongAccumulator
   *  - `blockSkips`: BMW window-skip events (blocks bounded below the heap
   *    threshold and never decompressed — the WAND effectiveness signal);
   *    per-query exact (counted inside the run's own cursors).
+  *  - `routedFast` / `routedHybrid` / `routedWand`: how many queries of the
+  *    batch each serving route took (driver-side adds at plan time — the
+  *    routing decision is driver metadata, so these are exact and
+  *    cache-independent; the per-route QPS/latency attribution signal).
   */
 final case class QueryMetrics(
     candidates: LongAccumulator,
     blocksDecoded: LongAccumulator,
-    blockSkips: LongAccumulator) extends Serializable {
+    blockSkips: LongAccumulator,
+    routedFast: LongAccumulator,
+    routedHybrid: LongAccumulator,
+    routedWand: LongAccumulator) extends Serializable {
 
   def snapshot: Map[String, Long] = Map(
     "candidates_evaluated" -> candidates.value,
     "blocks_decoded" -> blocksDecoded.value,
-    "block_skips" -> blockSkips.value)
+    "block_skips" -> blockSkips.value,
+    "routed_fast" -> routedFast.value,
+    "routed_hybrid" -> routedHybrid.value,
+    "routed_wand" -> routedWand.value)
 }
 
 object QueryMetrics {
   def apply(spark: SparkSession): QueryMetrics = QueryMetrics(
     spark.sparkContext.longAccumulator("graft.query.candidates"),
     spark.sparkContext.longAccumulator("graft.query.blocksDecoded"),
-    spark.sparkContext.longAccumulator("graft.query.blockSkips"))
+    spark.sparkContext.longAccumulator("graft.query.blockSkips"),
+    spark.sparkContext.longAccumulator("graft.query.routedFast"),
+    spark.sparkContext.longAccumulator("graft.query.routedHybrid"),
+    spark.sparkContext.longAccumulator("graft.query.routedWand"))
 }
 
 /** Executor-local mutable counters for one WAND shard run (summed into the

@@ -31,6 +31,17 @@ object Wand {
   /** Threshold slack ≥ 2× the 1e-6 score-quantization grid (see class doc). */
   val Eps: Double = 1e-5
 
+  /** Hybrid-route guard: a query is hybrid-eligible only while the SUM of
+    * its rare terms' dfs stays under this bound — each rare list is
+    * < [[graft.index.IndexBuilder.FastMinDf]] postings by definition, but a
+    * many-rare-term query could otherwise funnel an unbounded total through
+    * the driver collect. Overflow routes to WAND (identical results, no
+    * driver materialization). A `var` so specs can exercise the fallback at
+    * tiny sf (where no real query set reaches 32 k rare postings);
+    * production value is the default.
+    */
+  @volatile var HybridMaxRarePostings: Long = 32768L
+
   /** `(query_id, rank, repo, path, commit, score_r)` — rank-identical to
     * [[NaiveSearch.topK]] on every query.
     */
@@ -73,12 +84,13 @@ object Wand {
     // the scoped repos are rejected INSIDE the WAND evaluation loop — before
     // they can enter the heap — so the per-shard top-k is the top-k OF THE
     // SCOPE, not a post-filtered global top-k. Membership is a broadcast
-    // sorted docId array + binary search: a repo scope is selective by
-    // construction (that is why the user scoped), the same justification as
-    // broadcasting a dimension table; at 10^12 docs swap in a Bloom filter
-    // per salt if a scope ever outgrows broadcast size. Bounds stay sound:
-    // block maxima upper-bound every doc, a fortiori the scoped subset.
-    val scopeBc = repoScope.map(reader.scopedDocIds)
+    // probe ([[IndexReader.scopeProbe]]): an exact sorted docId array for
+    // selective scopes (the dimension-table case), a Bloom filter once the
+    // scope outgrows broadcast-array size — no false negatives, and the
+    // ranking tail's docs join re-filters the rare FP exactly. Bounds stay
+    // sound either way: block maxima upper-bound every doc, a fortiori the
+    // scoped subset.
+    val scope = repoScope.map(reader.scopeProbe)
 
     val n = stats.nDocs
     val avgdl = stats.avgdl
@@ -112,47 +124,80 @@ object Wand {
     val metaAll = reader.termMeta(querySet.flatMap(_.terms).distinct)
     def presentOf(q: Query): Seq[String] = q.terms.distinct.filter(metaAll.contains)
     def fastOf(q: Query): Seq[String] =
-      if (scopeBc.isEmpty && q.k <= fastK) presentOf(q).filter(t => reader.fastList(t).isDefined)
+      if (scope.isEmpty && q.k <= fastK) presentOf(q).filter(t => reader.fastList(t).isDefined)
       else Nil
     val (fastSingleQs, rest) = querySet.partition(q =>
       presentOf(q).size == 1 && fastOf(q).size == 1)
-    val (hybridQs, wandQs) = rest.partition(q =>
-      presentOf(q).size >= 2 && fastOf(q).size == 1)
-
-    val fastCand: Option[DataFrame] = if (fastSingleQs.isEmpty) None else {
-      val rows = fastSingleQs.flatMap { q =>
-        val (df, ids, tfs, dls) = reader.fastList(presentOf(q).head).get
-        metrics.foreach(_.candidates.add(ids.length.toLong))
-        ids.indices.map(i => (q.queryId, q.k, ids(i), tfs(i), dls(i), df))
+    // hybrid also requires the rare side to be driver-collectable: each rare
+    // list is < FastMinDf postings BY DEFINITION (a bigger term would be
+    // fast-listed), but a query with MANY rare terms could still funnel an
+    // unbounded total through the driver — enforce Σ df_rare ≤
+    // [[HybridMaxRarePostings]] up front (dfs are driver-resident metadata,
+    // zero jobs) and route the overflow to WAND, so the bound is a guard,
+    // not an emergent property.
+    val (hybridQs, wandQs) = rest.partition { q =>
+      presentOf(q).size >= 2 && fastOf(q).size == 1 && {
+        val hot = fastOf(q).head
+        presentOf(q).filterNot(_ == hot).map(t => metaAll(t)._1).sum <= HybridMaxRarePostings
       }
-      Some(rows.toDF("query_id", "k", "doc_id", "tf", "dl", "df")
-        .select(col("query_id"), col("k"), col("doc_id"),
-          graft.score.BM25.score(col("tf"), col("df"), col("dl"),
-            lit(n), lit(avgdl)).as("score")))
+    }
+    metrics.foreach { m =>
+      m.routedFast.add(fastSingleQs.size.toLong)
+      m.routedHybrid.add(hybridQs.size.toLong)
+      m.routedWand.add(wandQs.count(q => presentOf(q).nonEmpty).toLong)
     }
 
-    val hybridCand: Option[DataFrame] = if (hybridQs.isEmpty) None else Some(
-      hybridQs.map { q =>
+    // FAST SINGLE — entirely driver-local, ZERO Spark jobs (v7): the stored
+    // prefix carries (repo, path, commit) and is already in the final
+    // (score_r desc, key asc) order, so the answer is take(k) + scalar
+    // re-scoring ([[Postings.idf]]/[[Postings.tfNorm]] mirror the Column
+    // tree op-for-op — bit-identical doubles, same oracle hash). The
+    // round-4 bench showed this path's 0.27 s p50 was ~100% job-scheduling
+    // overhead for 300 driver-resident rows.
+    val fastLocal: Seq[(String, Int, String, String, String, Double)] =
+      fastSingleQs.flatMap { q =>
+        val fl = reader.fastList(presentOf(q).head).get
+        val kk = math.min(q.k, fl.ids.length)
+        metrics.foreach(_.candidates.add(kk.toLong))
+        (0 until kk).map { i =>
+          val raw = Postings.idf(fl.df, n) * Postings.tfNorm(fl.tfs(i), fl.dls(i), avgdl)
+          (q.queryId, i + 1, fl.repos(i), fl.paths(i), fl.commits(i),
+            graft.score.BM25.quantize(raw))
+        }
+      }
+    def fastLocalDf: Option[DataFrame] =
+      if (fastSingleQs.isEmpty) None
+      else Some(fastLocal.sortBy(r => (r._1, r._2))
+        .toDF("query_id", "rank", "repo", "path", "commit", "score_r"))
+
+    val hybridCand: Option[DataFrame] = if (hybridQs.isEmpty) None else {
+      // ONE decode pass collects every hybrid query's rare lists (terms
+      // deduplicated across queries): a batch of H hybrid queries pays one
+      // bounded collect, not H serial jobs at plan-build time (round-4
+      // advice). Total rows ≤ Σ per-query caps — driver-bounded by the
+      // HybridMaxRarePostings guard above.
+      val rareTerms = hybridQs.flatMap { q =>
+        presentOf(q).filterNot(_ == fastOf(q).head)
+      }.distinct
+      val rareByTerm = IndexSearch.decodedTermRows(spark, reader, rareTerms, None)
+        .as[(String, Long, Long, Int, Long)].collect().groupBy(_._1)
+      Some(hybridQs.map { q =>
         val present = presentOf(q)
         val hot = fastOf(q).head
         val rare = present.filterNot(_ == hot)
-        // rare lists are < FastMinDf postings each BY DEFINITION (a bigger
-        // term would be fast-listed) — collect them ONCE and reuse for both
-        // the wanted-id set and the scoring rows, instead of running the
-        // decode scan twice (one job, bounded driver footprint)
-        val rareLocal = IndexSearch.decodedTermRows(spark, reader, rare, None)
-          .as[(String, Long, Long, Int, Long)].collect()
-        val prefixIds = reader.fastList(hot).get._2
+        val rareLocal = rare.flatMap(t => rareByTerm.getOrElse(t, Array.empty[(String, Long, Long, Int, Long)]).toSeq)
+        val prefixIds = reader.fastList(hot).get.ids
         val wanted = (prefixIds ++ rareLocal.map(_._3)).distinct.sorted
         metrics.foreach(_.candidates.add(wanted.length.toLong))
         val hotRows = IndexSearch.decodedTermRows(spark, reader, Seq(hot), Some(wanted))
-        hotRows.unionByName(rareLocal.toSeq.toDF("term", "df", "doc_id", "tf", "dl"))
+        hotRows.unionByName(rareLocal.toDF("term", "df", "doc_id", "tf", "dl"))
           .select(lit(q.queryId).as("query_id"), lit(q.k).as("k"), col("doc_id"),
             graft.score.BM25.score(col("tf"), col("df"), col("dl"),
               lit(n), lit(avgdl)).as("s"))
           .groupBy("query_id", "k", "doc_id")
           .agg(sum(col("s")).as("score"))
       }.reduce(_ unionByName _))
+    }
 
     val meta = metaAll.view.filterKeys(wandQs.flatMap(_.terms).toSet).toMap
     val dfMap: Map[String, Long] = meta.map { case (t, (d, _)) => t -> d }
@@ -160,14 +205,34 @@ object Wand {
     val qByIdLocal = wandQs.map(q => q.queryId -> q).toMap
     val cacheTag = reader.cacheTag
 
-    val nonWand: Seq[DataFrame] = (fastCand ++ hybridCand).toSeq
-    if (meta.isEmpty && nonWand.isEmpty) // every term absent: the 404-with-null-results analog
-      return spark.emptyDataset[(String, Int, String, String, String, Double)]
-        .toDF("query_id", "rank", "repo", "path", "commit", "score_r")
-    if (meta.isEmpty) {
-      val docsF = reader.docs.select("doc_id", "repo", "path", "commit")
-      return NaiveSearch.rankByKeys(nonWand.reduce(_ unionByName _).join(docsF, "doc_id"))
+    // docs key columns for the ranking tail; a BLOOM scope's rare false
+    // positives are removed HERE, exactly (the repo predicate re-checks
+    // membership the probe only approximated)
+    def docKeys: DataFrame = {
+      val base = reader.docs.select("doc_id", "repo", "path", "commit")
+      (scope, repoScope) match {
+        case (Some(pr), Some(rs)) if !pr.exact => base.filter(col("repo").isin(rs.distinct: _*))
+        case _ => base
+      }
     }
+    // attach the driver-local fast rows (already final-shaped) to a ranked
+    // distributed result; queryIds are disjoint across routes by partition
+    def withFast(ranked: DataFrame): DataFrame = fastLocalDf match {
+      case Some(f) => ranked.unionByName(f).orderBy("query_id", "rank")
+      case None => ranked
+    }
+
+    val nonWand: Seq[DataFrame] = hybridCand.toSeq
+    if (meta.isEmpty && nonWand.isEmpty)
+      // only fast-single and/or all-terms-absent queries remain: answer from
+      // the driver — a LocalTableScan collect is ZERO Spark jobs (absent
+      // terms are the 404-with-null-results analog and emit nothing)
+      return fastLocalDf.getOrElse(
+        spark.emptyDataset[(String, Int, String, String, String, Double)]
+          .toDF("query_id", "rank", "repo", "path", "commit", "score_r"))
+    if (meta.isEmpty)
+      return withFast(NaiveSearch.rankByKeys(
+        nonWand.reduce(_ unionByName _).join(docKeys, "doc_id")))
 
     // segments are partitioned by (salt, bucket): the bucket IN filter
     // prunes to |query-term buckets| directories per salt, and the term IN
@@ -191,6 +256,10 @@ object Wand {
     val segs = segParts.reduce(_ unionByName _)
       .as[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte], Int, Double)]
 
+    // membership closure captures only the broadcast handle (probe.fn), so
+    // the flatMapGroups task ships the broadcast, not the reader
+    val scopeFn: Long => Boolean = scope.map(_.fn).getOrElse((_: Long) => true)
+
     val candidates = segs
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, String), rows: Iterator[(Int, String, String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte], Int, Double)]) =>
@@ -203,13 +272,7 @@ object Wand {
         }.toSeq
         val decodedBefore = if (metrics.isDefined) lists.iterator.map(_.blocks.decodedBlocks.toLong).sum else 0L
         val counters = new WandCounters
-        val inScope: Long => Boolean = scopeBc match {
-          case Some(bc) =>
-            val ids = bc.value
-            d => java.util.Arrays.binarySearch(ids, d) >= 0
-          case None => _ => true
-        }
-        val res = wandShardTopK(lists, q.k, avgdl, counters, inScope)
+        val res = wandShardTopK(lists, q.k, avgdl, counters, scopeFn)
         metrics.foreach { m =>
           m.candidates.add(counters.evaluated)
           m.blockSkips.add(counters.skips)
@@ -220,8 +283,7 @@ object Wand {
       .toDF("query_id", "k", "doc_id", "score")
 
     val allCand = (Seq(candidates) ++ nonWand).reduce(_ unionByName _)
-    val docs = reader.docs.select("doc_id", "repo", "path", "commit")
-    NaiveSearch.rankByKeys(allCand.join(docs, "doc_id"))
+    withFast(NaiveSearch.rankByKeys(allCand.join(docKeys, "doc_id")))
   }
 
   /** One term's shard sub-postings, accessed block-lazily: the cursor's

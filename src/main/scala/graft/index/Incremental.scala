@@ -187,6 +187,29 @@ object Incremental {
 
     fresh.unpersist(); tf.unpersist(); delta.unpersist(); out.unpersist()
 
+    // v7: rebuild the impact-ordered fast sidecar for the LAYERED root at
+    // the NEW avgdl — whole-sidecar, not delta-touched-terms-only, because
+    // tfNorm ORDER is not avgdl-stable: every hot term's prefix ranking
+    // moves when avgdl moves, not just the terms this batch touched. Hot
+    // terms are few by definition (df ≥ FastMinDf), so the re-rank is the
+    // same small decode+TopK pass the full build pays (~5% of build wall).
+    // Without this, hot single-term queries between an addBatch and the
+    // next compact fell back to full WAND at O(df≈N) with no block skips —
+    // the exact pathology the fast lists exist to kill, in what is the
+    // steady state at 100 TB.
+    val layeredView = Snapshot(
+      0, baseLayers.indexDirs :+ outPaths.indexDir,
+      baseLayers.docsDirs :+ outPaths.docsDir,
+      baseLayers.segmentsDirs :+ outPaths.segmentsDir,
+      baseLayers.statsPaths :+ outPaths.statsPath,
+      outPaths.statsPath, None)
+    IndexBuilder.deleteRecursively(java.nio.file.Paths.get(outPaths.fastDir))
+    IndexBuilder.buildFastSidecar(
+      spark, currentIndex(spark, layeredView),
+      layeredView.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
+        .reduce(_ unionByName _),
+      newStats, outPaths.fastDir)
+
     // persist stats + the layered snapshot: the merged table is openable
     // from outPaths alone.
     IndexBuilder.writeStatsJson(outPaths.statsPath, newStats, s"incremental over ${basePaths.root}")

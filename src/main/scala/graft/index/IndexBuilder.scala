@@ -66,8 +66,19 @@ object IndexBuilder {
     * pruning cannot fire on a flat score distribution (bench evidence:
     * q01 "func" evaluated all 598,902 candidates with 0 block skips), and
     * at 10^12 docs an O(N)-per-query hot-term path is not servable.
+    * v7: (a) the fast sidecar stores each prefix entry's natural doc key
+    * `(repo, path, commit)` alongside (doc_id, tf, dl), so a single-fast-term
+    * query is answered entirely on the driver — ZERO Spark jobs (the round-4
+    * bench showed fast-path p50 was ~100% job-scheduling overhead for 300
+    * driver-resident rows); (b) stored link-graph artifacts `nodes/` +
+    * `edges/` in every root (the reference STORES its edge relation and
+    * traverses the store, `links: [uid] @count @reverse`,
+    * `pkg/database/relationship/dgraph.go:45, 62-92` — v6 re-derived edges
+    * from raw content per traversal); (c) layered roots rebuild the fast
+    * sidecar at the new avgdl on every addBatch, so hot-term queries stay
+    * O(k) between compactions.
     */
-  val FormatVersion: Int = 6
+  val FormatVersion: Int = 7
 
   /** Fast-list prefix length: single-term queries with k ≤ FastK are
     * served from the impact-ordered prefix (Anh & Moffat-style impact
@@ -82,7 +93,12 @@ object IndexBuilder {
     */
   val FastMinDf: Long = 4096L
 
-  /** On-disk schema of the fast sidecar (bucket is the partition column). */
+  /** On-disk schema of the fast sidecar (bucket is the partition column).
+    * v7 adds the natural doc keys per prefix entry: the arrays are parallel
+    * and already in the FINAL total order (score_r desc, key asc), so a
+    * single-fast-term query is `take(k)` + driver-side scoring — no index
+    * job, no docs join.
+    */
   val FastSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
@@ -90,6 +106,9 @@ object IndexBuilder {
       StructField("doc_ids", ArrayType(LongType, containsNull = false)),
       StructField("tfs", ArrayType(IntegerType, containsNull = false)),
       StructField("dls", ArrayType(LongType, containsNull = false)),
+      StructField("repos", ArrayType(StringType, containsNull = false)),
+      StructField("paths", ArrayType(StringType, containsNull = false)),
+      StructField("commits", ArrayType(StringType, containsNull = false)),
       StructField("bucket", IntegerType)))
   }
 
@@ -421,37 +440,61 @@ object IndexBuilder {
     // final ranking.) Single-term queries then serve in O(k) instead of
     // O(df): block-max pruning cannot fire on a flat score distribution,
     // and at 10^12 docs an O(N) hot-term query is not servable.
-    if (!Files.exists(Paths.get(s"${paths.fastDir}/_SUCCESS"))) {
-      import spark.implicits._
-      val n = stats.nDocs
-      val avgdl = stats.avgdl
-      phase("fast-lists") {
-        val hot = spark.read.parquet(paths.indexDir)
-          .filter(col("df") >= FastMinDf)
-          .select("term", "df", "postings", "dls", "bucket")
-          .as[(String, Long, Array[Byte], Array[Byte], Int)]
-          .flatMap { case (term, df, p, d, bucket) =>
-            val (ids, tfs, dls) = Postings.decode(p, d)
-            Iterator.range(0, ids.length).map(i => (term, df, bucket, ids(i), tfs(i), dls(i)))
-          }
-          .toDF("term", "df", "bucket", "doc_id", "tf", "dl")
-        val docKeys = spark.read.schema(DocsSchema).parquet(paths.docsDir)
-          .select("doc_id", "repo", "path", "commit")
-        val scoreR = graft.score.BM25.quantize(graft.score.BM25.score(
-          col("tf"), col("df"), col("dl"), lit(n), lit(avgdl)))
-        hot.join(docKeys, "doc_id")
-          .groupBy("term", "df", "bucket")
-          .agg(graft.engine.TopKAggExprs.topK(lit(FastK), scoreR,
-            struct(col("repo"), col("path"), col("commit"),
-              col("doc_id"), col("tf"), col("dl"))).as("hits"))
-          .select(col("term"), col("df"),
-            transform(col("hits"), h => h.getField("doc_id")).as("doc_ids"),
-            transform(col("hits"), h => h.getField("tf")).as("tfs"),
-            transform(col("hits"), h => h.getField("dl")).as("dls"),
-            col("bucket"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(paths.fastDir)
-      }
+    if (!Files.exists(Paths.get(s"${paths.fastDir}/_SUCCESS")))
+      buildFastSidecar(spark,
+        spark.read.parquet(paths.indexDir),
+        spark.read.schema(DocsSchema).parquet(paths.docsDir),
+        stats, paths.fastDir)
+  }
+
+  /** Build the impact-ordered fast sidecar from a CURRENT (newest-wins)
+    * index view + the full docs sidecar, ranked at `stats`' avgdl. Shared by
+    * the full build / compaction ([[buildPostingsPhases]]) and
+    * [[Incremental.addBatch]] — a layered root's sidecar is rebuilt whole at
+    * the new avgdl on every add (hot terms are few by definition, df ≥
+    * [[FastMinDf]]), so hot-term queries stay O(k) between compactions
+    * instead of degrading to full WAND while the root is layered. tfNorm
+    * ORDER is not avgdl-stable, which is exactly why the sidecar must be
+    * re-ranked whenever avgdl moves (the v6 reader simply refused layered
+    * roots; v7 keeps them fast).
+    */
+  private[index] def buildFastSidecar(
+      spark: SparkSession,
+      currentIndex: DataFrame,
+      docs: DataFrame,
+      stats: IndexStats,
+      fastDir: String): Unit = {
+    import spark.implicits._
+    val n = stats.nDocs
+    val avgdl = stats.avgdl
+    phase("fast-lists") {
+      val hot = currentIndex
+        .filter(col("df") >= FastMinDf)
+        .select("term", "df", "postings", "dls", "bucket")
+        .as[(String, Long, Array[Byte], Array[Byte], Int)]
+        .flatMap { case (term, df, p, d, bucket) =>
+          val (ids, tfs, dls) = Postings.decode(p, d)
+          Iterator.range(0, ids.length).map(i => (term, df, bucket, ids(i), tfs(i), dls(i)))
+        }
+        .toDF("term", "df", "bucket", "doc_id", "tf", "dl")
+      val docKeys = docs.select("doc_id", "repo", "path", "commit")
+      val scoreR = graft.score.BM25.quantize(graft.score.BM25.score(
+        col("tf"), col("df"), col("dl"), lit(n), lit(avgdl)))
+      hot.join(docKeys, "doc_id")
+        .groupBy("term", "df", "bucket")
+        .agg(graft.engine.TopKAggExprs.topK(lit(FastK), scoreR,
+          struct(col("repo"), col("path"), col("commit"),
+            col("doc_id"), col("tf"), col("dl"))).as("hits"))
+        .select(col("term"), col("df"),
+          transform(col("hits"), h => h.getField("doc_id")).as("doc_ids"),
+          transform(col("hits"), h => h.getField("tf")).as("tfs"),
+          transform(col("hits"), h => h.getField("dl")).as("dls"),
+          transform(col("hits"), h => h.getField("repo")).as("repos"),
+          transform(col("hits"), h => h.getField("path")).as("paths"),
+          transform(col("hits"), h => h.getField("commit")).as("commits"),
+          col("bucket"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(fastDir)
     }
   }
 

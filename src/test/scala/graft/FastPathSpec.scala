@@ -38,11 +38,14 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reader = IndexReader.get(spark, paths)
     val fl = reader.fastList("func")
     assert(fl.isDefined, "hot term 'func' (df = N) must have a fast list")
-    val (df, ids, tfs, dls) = fl.get
-    assert(df >= IndexBuilder.FastMinDf)
-    assert(ids.length === math.min(IndexBuilder.FastK.toLong, df).toInt,
-      s"prefix must be exactly min(FastK, df) entries, got ${ids.length}")
-    assert(ids.length == tfs.length && ids.length == dls.length)
+    val f = fl.get
+    assert(f.df >= IndexBuilder.FastMinDf)
+    assert(f.ids.length === math.min(IndexBuilder.FastK.toLong, f.df).toInt,
+      s"prefix must be exactly min(FastK, df) entries, got ${f.ids.length}")
+    assert(f.ids.length == f.tfs.length && f.ids.length == f.dls.length)
+    // v7: natural doc keys ride along so serving needs no docs join
+    assert(f.ids.length == f.repos.length && f.ids.length == f.paths.length &&
+      f.ids.length == f.commits.length)
     assert(reader.fastList("handler_0_3").isEmpty, "rare term must fall back")
     assert(reader.fastList("zzznotfound").isEmpty, "absent term must fall back")
   }
@@ -52,7 +55,7 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     // values, so the top-k is decided by natural keys — the prefix must be
     // selected and ordered by the SAME total order as the final ranking
     val reader = IndexReader.get(spark, paths)
-    val (_, ids, _, _) = reader.fastList("func").get
+    val ids = reader.fastList("func").get.ids
     val docs = spark.read.schema(IndexBuilder.DocsSchema).parquet(paths.docsDir)
       .select("doc_id", "repo", "path", "commit").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
@@ -65,15 +68,44 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fast-list head diverged from the oracle plan's top-k order")
   }
 
-  test("fast route engaged: q01 candidate count is the prefix size, not df") {
+  test("fast route engaged: q01 candidate count is k, not df") {
     val reader = IndexReader.get(spark, paths)
-    val prefixLen = reader.fastList("func").get._2.length
     val m = QueryMetrics(spark)
     Wand.topKAt(spark, paths, Seq(Query("q01", Seq("func"), 10)), Some(m)).count()
-    assert(m.candidates.value === prefixLen.toLong,
-      s"fast path not engaged: evaluated ${m.candidates.value}, prefix is $prefixLen")
-    assert(m.candidates.value < reader.fastList("func").get._1,
+    // v7 serves take(k) of the driver-resident prefix: the served candidate
+    // set is exactly k rows, nowhere near df
+    assert(m.candidates.value === 10L,
+      s"fast path not engaged: evaluated ${m.candidates.value}, expected k=10")
+    assert(m.candidates.value < reader.fastList("func").get.df,
       "candidate count should be far below df")
+  }
+
+  test("fast single-term queries are answered with ZERO Spark jobs") {
+    // only "func" clears FastMinDf at sf0.001 (~6k docs) — the batch mixes
+    // two fast-single queries (different k) with an absent term (also
+    // driver-answerable: empty)
+    val qs = Seq(Query("z1", Seq("func"), 10), Query("z2", Seq("func"), 5),
+      Query("z3", Seq("zzznotfound"), 10))
+    // warm the driver caches (termMeta + fastList probes are one-time jobs)
+    Wand.topKAt(spark, paths, qs.map(q => q.copy(queryId = q.queryId + "w"))).collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val rows = Wand.topKAt(spark, paths, qs).collect()
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      assert(rows.length === 15, "10 + 5 + 0 rows expected")
+      assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+        rows.map(r => (r.getString(0), r.getInt(1))).toSeq.sorted,
+        "driver-local result must come out (query_id, rank)-sorted")
+      assert(jobs.get === 0,
+        s"fast single-term serving scheduled ${jobs.get} Spark jobs; v7 contract is 0")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("serving path (fast + WAND mix) is rank-identical to the naive oracle plan") {
@@ -94,7 +126,7 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Query("hyb", Seq("func", "handler_0_3"), 10)
     val m = QueryMetrics(spark)
     val got = Wand.topKAt(spark, paths, Seq(q), Some(m)).collect()
-    val hotDf = reader.fastList("func").get._1
+    val hotDf = reader.fastList("func").get.df
     assert(m.candidates.value > 0L && m.candidates.value < hotDf / 2,
       s"hybrid path not engaged: evaluated ${m.candidates.value} of df=$hotDf")
     // rank-identical to the naive oracle plan on the same query
@@ -109,13 +141,50 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup.map(_.getInt(1)).toSeq === (1 to 5))
   }
 
+  test("hybrid cap: many-rare-term query exceeds the driver-collect bound, falls back to WAND") {
+    val reader = IndexReader.get(spark, paths)
+    val rare = (0 until 14).map(i => s"cust_$i")
+    val dfs = reader.dfOf(rare)
+    val q = Query("cap", "func" +: rare, 10)
+    // at sf0.001 no realistic query reaches 32 k rare postings — lower the
+    // cap below the fixture's Σ df_rare to exercise the guard, restore after
+    val prev = Wand.HybridMaxRarePostings
+    Wand.HybridMaxRarePostings = dfs.values.sum - 1
+    try {
+      val m = QueryMetrics(spark)
+      val got = Wand.topKAt(spark, paths, Seq(q), Some(m)).collect()
+      // the route counters are driver-exact: the over-cap query must have
+      // been refused by the hybrid partition and WAND-routed (candidate
+      // counts can't discriminate — BMW pruning can make WAND evaluate
+      // FEWER docs than the hybrid union holds)
+      assert(m.routedWand.value === 1L && m.routedHybrid.value === 0L,
+        s"expected WAND fallback, routes = ${m.snapshot}")
+      val s2 = spark; import s2.implicits._
+      val want = NaiveSearch.topK(spark, graft.corpus.Corpus.corpus(spark, sfDir),
+        ("func" +: rare).map(t => ("cap", t, 10)).toDF("query_id", "term", "k")).collect()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))
+      assert(got.map(key).toSeq === want.map(key).toSeq,
+        "capped fallback diverged from the oracle plan")
+      // with the cap restored, the same query routes hybrid (bounded union)
+      Wand.HybridMaxRarePostings = prev
+      val m2 = QueryMetrics(spark)
+      val got2 = Wand.topKAt(spark, paths, Seq(q.copy(queryId = "cap2")), Some(m2)).collect()
+      assert(m2.routedHybrid.value === 1L && m2.routedWand.value === 0L,
+        s"hybrid route not re-engaged: routes = ${m2.snapshot}")
+      assert(got2.map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))).toSeq ===
+        got.map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))).toSeq,
+        "hybrid and WAND answers must be identical")
+    } finally Wand.HybridMaxRarePostings = prev
+  }
+
   test("k > FastK falls back to the exact path (and still matches naive)") {
     val q = Query("big", Seq("func"), IndexBuilder.FastK + 1)
     val m = QueryMetrics(spark)
     val got = Wand.topKAt(spark, paths, Seq(q), Some(m)).count()
     assert(got === (IndexBuilder.FastK + 1).toLong)
     val reader = IndexReader.get(spark, paths)
-    assert(m.candidates.value > reader.fastList("func").get._2.length.toLong,
+    assert(m.candidates.value > reader.fastList("func").get.ids.length.toLong,
       "k > FastK must not use the truncated prefix")
   }
 }
