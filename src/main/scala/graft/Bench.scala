@@ -18,8 +18,10 @@ import scala.jdk.CollectionConverters._
   *  - query_serve_p50/p99: THE HEADLINE SERVING PAIR — per-query latency of
   *    [[SearchApi.search]] (validation + block-max WAND + collect), i.e.
   *    what a request to the engine actually pays.
-  *  - query_wand_p50/p99: same samples (the OR serving path IS WAND) —
-  *    kept for round-over-round comparability.
+  *  - query_wand_p50/p99: the SAME query set with the fast/hybrid routes
+  *    disabled ([[Wand.ForceWandRoute]]) — a true WAND-path measurement,
+  *    round-over-round comparable with the pre-fast-route rounds (a silent
+  *    alias of query_serve_* would conflate routing wins with WAND wins).
   *  - query_index_p50/p99: the full-materialization index path. This is the
   *    ORACLE path (rank-identity cross-check vs DuckDB), not the serving
   *    path — it decodes each query term's whole posting list into rows, so
@@ -142,6 +144,39 @@ object Bench {
       w.newLine(); w.flush()
     }
 
+    // meter snapshot at the last phase boundary — build/add phases run
+    // sequentially on this thread, so end-minus-previous-end deltas are
+    // exact per-phase attribution
+    private var phGcMs = 0L; private var phGcN = 0L
+    private var phCpu = 0L; private var phTask = 0L
+
+    def phaseReset(): Unit = {
+      org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
+      val (g, n) = gcTotals()
+      phGcMs = g; phGcN = n; phCpu = processCpuMs()
+      phTask = (taskCpu.cpuSec * 1000).toLong
+    }
+
+    /** One attributed line per completed build/add phase (task-CPU, GC,
+      * process-CPU deltas, load1, heap) — the round-4 driver leg's 3.6×
+      * build-wall inflation had to be attributed by cross-referencing repo
+      * legs; with this, a slow phase self-attributes inside the artifact.
+      */
+    def phaseSample(tag: String, name: String, wall: Double): Unit = {
+      org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
+      val (g, n) = gcTotals()
+      val c = processCpuMs()
+      val t = (taskCpu.cpuSec * 1000).toLong
+      val tOff = (System.nanoTime() - t0Nanos) / 1e9
+      w.write(
+        s"""{"path":"phase","tag":"$tag","phase":"$name","t_off_s":${f"$tOff%.3f"},""" +
+          s""""wall_s":${f"$wall%.6f"},"gc_ms":${g - phGcMs},"gc_n":${n - phGcN},""" +
+          s""""proc_cpu_ms":${c - phCpu},"task_cpu_ms":${t - phTask},""" +
+          s""""load1":${f"${load1()}%.1f"},"heap_mb":${heapUsedMb()}}""")
+      w.newLine(); w.flush()
+      phGcMs = g; phGcN = n; phCpu = c; phTask = t
+    }
+
     def close(): Unit = w.close()
   }
 
@@ -158,18 +193,29 @@ object Bench {
     val samplesPath = Paths.get(s"bench/samples_${sfName}_cpus$cores.jsonl")
     val log = new SampleLog(samplesPath, t0Nanos, cpu, spark.sparkContext)
 
-    val (stats, tBuild) = time {
-      IndexBuilder.build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"bench-$sfName")
-    }
+    // build + naive are sampled through the same attributed meter as every
+    // query (wall, GC, proc/task CPU, load1), and each inner build phase
+    // additionally writes its own delta line via the phase hook — a slow
+    // driver-environment build now self-attributes per phase in-artifact.
+    log.phaseReset()
+    IndexBuilder.phaseHook = (tag, name, wall) => log.phaseSample(tag, name, wall)
+    var stats: graft.index.IndexStats = null
+    val tBuild = try {
+      log.sample("build", 1, "index_build_full", None) {
+        stats = IndexBuilder.build(spark, Corpus.corpus(spark, sfDir), paths, buildArgs = s"bench-$sfName")
+      }
+    } finally IndexBuilder.phaseHook = (_, _, _) => ()
     // drain queued onTaskEnd events before reading (async listener bus)
     org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
     val buildCpu = cpu.cpuSec
     System.err.println(s"[bench] build done in $tBuild s (cpu $buildCpu s)")
 
-    val (_, tNaive) = time {
-      NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark)).count()
+    val tNaive = log.sample("naive", 1, "bm25_naive_set", None) {
+      NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), QuerySet.df(spark)).count(): Unit
     }
-    System.err.println(s"[bench] naive set done in $tNaive s")
+    org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+    val naiveCpu = cpu.cpuSec - buildCpu
+    System.err.println(s"[bench] naive set done in $tNaive s (cpu $naiveCpu s)")
 
     // Build + naive leave a heap full of garbage (posting buffers, shuffle
     // blocks) AND the naive plan's persisted tf relation (NaiveSearch
@@ -206,7 +252,20 @@ object Bench {
     val serveLat = for { rep <- 1 to reps; q <- QuerySet.all } yield
       log.sample("serve", rep, q.queryId, Some(m))(
         SearchApi.search(spark, paths, q.terms, q.k, conjunctive = false, Some(m)).collect(): Unit)
-    System.err.println(s"[bench] serve (WAND) per-query done: ${serveLat.sum} s total")
+    System.err.println(s"[bench] serve (routed) per-query done: ${serveLat.sum} s total")
+
+    // WAND-only leg: identical queries with the fast/hybrid routes disabled,
+    // so query_wand_* keeps measuring the WAND path itself (comparable with
+    // pre-fast-route rounds) instead of aliasing the routed serving pair.
+    Wand.ForceWandRoute = true
+    val wandLat = try {
+      val mW = QueryMetrics(spark)
+      Wand.topKAt(spark, paths, QuerySet.all).count() // warm the forced path
+      for { rep <- 1 to reps; q <- QuerySet.all } yield
+        log.sample("wand", rep, q.queryId, Some(mW))(
+          SearchApi.search(spark, paths, q.terms, q.k, conjunctive = false, Some(mW)).collect(): Unit)
+    } finally Wand.ForceWandRoute = false
+    System.err.println(s"[bench] wand (forced) per-query done: ${wandLat.sum} s total")
     log.close()
 
     def stat(name: String, xs: Seq[Double]): Seq[(String, Double)] = Seq(
@@ -218,9 +277,9 @@ object Bench {
       "bm25_naive_set" -> tNaive,
       "query_serve_p50" -> percentile(serveLat, 0.5),
       "query_serve_p99" -> percentile(serveLat, 0.99),
-      // same samples: the OR serving path IS WAND (round-over-round key)
-      "query_wand_p50" -> percentile(serveLat, 0.5),
-      "query_wand_p99" -> percentile(serveLat, 0.99),
+      // distinct samples: the SAME queries forced down the WAND route
+      "query_wand_p50" -> percentile(wandLat, 0.5),
+      "query_wand_p99" -> percentile(wandLat, 0.99),
       "query_index_p50" -> percentile(indexLat, 0.5),
       "query_index_p99" -> percentile(indexLat, 0.99))
     val extras = Map(
@@ -229,8 +288,10 @@ object Bench {
       "query_samples_per_path" -> (reps * QuerySet.all.size).toDouble,
       "build_cpu_sec" -> buildCpu,
       "build_cpu_util" -> buildCpu / (tBuild * cores),
+      "naive_cpu_sec" -> naiveCpu,
+      "naive_cpu_util" -> naiveCpu / (tNaive * cores),
       "gc_fence_sec" -> tGcFence) ++
-      stat("query_serve", serveLat) ++ stat("query_index", indexLat)
+      stat("query_serve", serveLat) ++ stat("query_wand", wandLat) ++ stat("query_index", indexLat)
     (queries, extras, samplesPath.toString)
   }
 
@@ -241,9 +302,7 @@ object Bench {
     val (queries, extras, samplesFile) = run(spark, sfDir, s"target/graft-index/bench-cpus$cpus")
     val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val ex = extras.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    // query_wand_* are aliases of query_serve_* (same sample set) — count
-    // each distinct measurement once in the headline total
-    val total = (queries - "query_wand_p50" - "query_wand_p99").values.sum
+    val total = queries.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$ex,"samples_file":"$samplesFile","cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -347,6 +347,29 @@ object SparkEntry {
     // iterative hash-joins with a visited anti-join; oracle = DuckDB
     // recursive CTE with min(depth).
     "graph_reach_bfs" -> ((s, dir) => graft.ops.Graph.reachBfs(s, Corpus.corpus(s, dir))),
+
+    // The SAME traversal served from the STORED graph artifacts of the
+    // LAYERED incremental root — nodes from the docs sidecar, edges from
+    // the persisted newest-wins `edges/` layers (v7): no content scan, no
+    // per-query edge re-derivation (the reference traverses its stored
+    // `links` relation, dgraph.go:62-92). Matching the from-scratch oracle
+    // proves the stored graph survived an addBatch intact.
+    "graph_reach_stored" -> ((s, dir) =>
+      graft.ops.Graph.reachStored(s, ensureIncr(s, dir).root)),
+
+    // The stored edge relation itself after an incremental add, key-labeled:
+    // base edges built on the 80% slice, delta layer carrying the fresh
+    // docs' edges + canon-change rewrites, resolved newest-wins per src —
+    // must equal DuckDB's from-scratch derivation over the FULL corpus.
+    "graph_edges_incr" -> ((s, dir) => {
+      val out = ensureIncr(s, dir)
+      val docs = graft.index.Incremental.readMergedDocs(s, out.root)
+      graft.index.LinkIndex.readMergedEdges(s, out.root)
+        .join(docs.select(col("doc_id").as("src_id"), col("repo"), col("path").as("src_path")), "src_id")
+        .join(docs.select(col("doc_id").as("dst_id"), col("path").as("dst_path")), "dst_id")
+        .select("repo", "src_path", "dst_path")
+        .orderBy("repo", "src_path", "dst_path")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +451,14 @@ object SparkEntry {
 
     "graph_reach_bfs" -> OracleSql.graphReachBfs(
       maxDepth = 3, graft.ops.Graph.RootRepos, graft.ops.Graph.CustModulus),
+
+    // stored-graph serving must equal the identical from-scratch traversal
+    "graph_reach_stored" -> OracleSql.graphReachBfs(
+      maxDepth = 3, graft.ops.Graph.RootRepos, graft.ops.Graph.CustModulus),
+
+    // the stored newest-wins edge relation after an addBatch == the
+    // from-scratch derivation over the full corpus
+    "graph_edges_incr" -> OracleSql.graphEdges(graft.ops.Graph.CustModulus),
 
     // DuckDB recomputes hit counts per query from the same ranked CTE; the
     // Spark side's n_sha_match is a REAL recomputation (stored-at-index-time

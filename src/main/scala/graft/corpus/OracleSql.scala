@@ -162,6 +162,27 @@ object OracleSql {
        #ORDER BY direction, root_repo, root_path, path""".stripMargin('#')
   }
 
+  /** The full link-edge relation over the corpus, key-labeled — the oracle
+    * for the STORED `edges/` artifact (built at index time, maintained
+    * LSM-style by addBatch, resolved newest-wins per src): the stored
+    * relation must equal this from-scratch derivation exactly.
+    */
+  def graphEdges(custModulus: Int): String =
+    s"""WITH $corpusCte,
+       #nodes AS MATERIALIZED (
+       #  SELECT repo, path, CAST(regexp_extract(content, 'cust_([0-9]+)', 1) AS INTEGER) AS cust
+       #  FROM corpus
+       #),
+       #canon AS MATERIALIZED (
+       #  SELECT repo, cust, min(path) AS path FROM nodes GROUP BY repo, cust
+       #),
+       #edges AS MATERIALIZED (
+       #  SELECT n.repo, n.path AS src_path, c.path AS dst_path
+       #  FROM nodes n JOIN canon c ON c.repo = n.repo AND c.cust = (n.cust + 1) % $custModulus
+       #)
+       #SELECT repo, src_path, dst_path FROM edges
+       #ORDER BY repo, src_path, dst_path""".stripMargin('#')
+
   /** Conjunctive (AND) BM25 top-k — same scoring, but a doc qualifies only
     * if it matched EVERY query term (`HAVING count(*) = n_terms`; terms are
     * distinct per query and tf has one row per (term, doc), so count(*) is

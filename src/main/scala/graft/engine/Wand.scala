@@ -42,6 +42,14 @@ object Wand {
     */
   @volatile var HybridMaxRarePostings: Long = 32768L
 
+  /** When true, every query takes the full WAND route (fast/hybrid
+    * disabled) — results are identical by construction (FastPathSpec pins
+    * it); the bench sets this for its `query_wand_*` leg so that key keeps
+    * measuring the WAND path itself round-over-round instead of silently
+    * becoming an alias of the routed serving path.
+    */
+  @volatile var ForceWandRoute: Boolean = false
+
   /** `(query_id, rank, repo, path, commit, score_r)` — rank-identical to
     * [[NaiveSearch.topK]] on every query.
     */
@@ -124,7 +132,8 @@ object Wand {
     val metaAll = reader.termMeta(querySet.flatMap(_.terms).distinct)
     def presentOf(q: Query): Seq[String] = q.terms.distinct.filter(metaAll.contains)
     def fastOf(q: Query): Seq[String] =
-      if (scope.isEmpty && q.k <= fastK) presentOf(q).filter(t => reader.fastList(t).isDefined)
+      if (!ForceWandRoute && scope.isEmpty && q.k <= fastK)
+        presentOf(q).filter(t => reader.fastList(t).isDefined)
       else Nil
     val (fastSingleQs, rest) = querySet.partition(q =>
       presentOf(q).size == 1 && fastOf(q).size == 1)

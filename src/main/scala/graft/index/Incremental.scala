@@ -182,8 +182,22 @@ object Incremental {
     phase("docs-write")(fresh.join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
         coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"),
-        lit(batchId).as("batch_id"))
+        lit(batchId).as("batch_id"),
+        LinkIndex.custCol(col("content")).as("cust"))
       .write.mode("overwrite").parquet(outPaths.docsDir))
+
+    // Stored link graph, delta layer (v7): fresh docs' edges + re-derived
+    // edges for existing docs whose target's canonical provider this batch
+    // changed — readers resolve newest-wins per src_id, exactly like the
+    // postings' newest-wins per term. A batch that adds nothing writes a
+    // valid EMPTY layer (schema-pinned read).
+    phase("edges-write") {
+      val baseNodes = LinkIndex.nodesOf(baseDocs)
+      val freshNodes = LinkIndex.nodesOf(
+        spark.read.schema(IndexBuilder.DocsSchema).parquet(outPaths.docsDir))
+      LinkIndex.writeEdges(spark,
+        LinkIndex.deltaEdges(baseNodes, freshNodes), outPaths.edgesDir)
+    }
 
     fresh.unpersist(); tf.unpersist(); delta.unpersist(); out.unpersist()
 
@@ -288,14 +302,21 @@ object Incremental {
       case Some(r) => (IndexPaths(r), r, 1)
       case None => (IndexPaths(s"$root/compact-v${snap.version + 1}"), root, snap.version + 1)
     }
-    Seq(inner.indexDir, inner.segmentsDir, inner.docsDir, inner.manifestsDir)
+    Seq(inner.indexDir, inner.segmentsDir, inner.docsDir, inner.manifestsDir, inner.edgesDir)
       .foreach(d => IndexBuilder.deleteRecursively(java.nio.file.Paths.get(d)))
 
-    // docs union: per-layer docId sets are disjoint (J1), content_sha and
-    // dl=0 lineage rows carry over unchanged.
+    // docs union: per-layer docId sets are disjoint (J1), content_sha,
+    // cust, and dl=0 lineage rows carry over unchanged.
     snap.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(inner.docsDir)
+
+    // edges fold back to ONE exact layer, like everything else compaction
+    // touches (re-derived whole from the compacted sidecar — a metadata job)
+    LinkIndex.writeEdges(spark,
+      LinkIndex.edgesOf(LinkIndex.nodesOf(
+        spark.read.schema(IndexBuilder.DocsSchema).parquet(inner.docsDir))),
+      inner.edgesDir)
 
     // (doc_id, term, tf, dl) relation from the newest-wins merged index —
     // decode is distributed (one task per index row group), then the shared

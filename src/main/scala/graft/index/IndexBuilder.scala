@@ -14,8 +14,9 @@ final case class IndexStats(version: Int, nDocs: Long, avgdl: Double, totalToken
 final case class IndexPaths(root: String) {
   val segmentsDir: String = s"$root/segments"   // (term, df, sum_tf, postings, dls, block_max) partitioned by salt
   val indexDir: String = s"$root/index"         // globally merged, partitioned by term-hash bucket
-  val docsDir: String = s"$root/docs"           // (doc_id, repo, path, commit, lang, dl, content_sha, batch_id)
+  val docsDir: String = s"$root/docs"           // (doc_id, repo, path, commit, lang, dl, content_sha, batch_id, cust)
   val fastDir: String = s"$root/fast"           // impact-ordered top-FastK prefixes of hot terms (v6)
+  val edgesDir: String = s"$root/edges"         // stored link graph (src_id, dst_id), layered newest-wins per src (v7)
   val manifestsDir: String = s"$root/manifests" // one JSON per salt partition (the checkpoint unit)
   val statsPath: String = s"$root/stats.json"
 }
@@ -26,6 +27,12 @@ object IndexPaths {
     */
   def fastDirFor(indexDir: String): String =
     indexDir.stripSuffix("/").stripSuffix("index") + "fast"
+
+  /** The stored-edges artifact of the layer whose global index lives at
+    * `indexDir` (sibling of `index`, like `fast`).
+    */
+  def edgesDirFor(indexDir: String): String =
+    indexDir.stripSuffix("/").stripSuffix("index") + "edges"
 }
 
 /** The index build pipeline — SURVEY.md §3.2's engine equivalent of the
@@ -144,7 +151,11 @@ object IndexBuilder {
 
   /** On-disk schema of a docs-sidecar layer. `batch_id` is the ingest
     * batch's lineage stamp (v5) — build args for a full build, the
-    * incremental batch tag for a delta layer.
+    * incremental batch tag for a delta layer. `cust` (v7) is the doc's
+    * content-derived link attribute, extracted ONCE at ingest (the
+    * reference extracts links while crawling the page,
+    * `pkg/crawl/crawl.go:148-166`, and stores them — it never re-parses
+    * content to traverse); null when the content carries no link token.
     */
   val DocsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -152,7 +163,8 @@ object IndexBuilder {
       StructField("doc_id", LongType), StructField("repo", StringType),
       StructField("path", StringType), StructField("commit", StringType),
       StructField("lang", StringType), StructField("dl", LongType),
-      StructField("content_sha", StringType), StructField("batch_id", StringType)))
+      StructField("content_sha", StringType), StructField("batch_id", StringType),
+      StructField("cust", IntegerType)))
   }
 
   val DefaultNumSalts: Int = 16
@@ -219,12 +231,18 @@ object IndexBuilder {
     }
   }
 
-  /** A build is complete iff stats exist at the current format version and
-    * every salt has its manifest — the completeness watermark (ST5).
+  /** A build is complete iff stats exist at the current format version,
+    * every salt has its manifest, and the v7 sidecar artifacts (fast
+    * prefixes, stored edges) are published — the completeness watermark
+    * (ST5). Each build phase is individually `_SUCCESS`-guarded, so a root
+    * failing only the sidecar checks re-runs [[build]] cheaply: completed
+    * phases no-op and only the missing artifacts are produced.
     */
   def isComplete(paths: IndexPaths, numSalts: Int = DefaultNumSalts): Boolean =
     readStats(paths).exists(s => s.version == FormatVersion && s.numSalts == numSalts) &&
-      completedSalts(paths) == (0 until numSalts).toSet
+      completedSalts(paths) == (0 until numSalts).toSet &&
+      Files.exists(Paths.get(s"${paths.fastDir}/_SUCCESS")) &&
+      Files.exists(Paths.get(s"${paths.edgesDir}/_SUCCESS"))
 
   /** The ONE recursive-delete helper — Bench.deleteTree and the streaming
     * changelog cleanup delegate here (single source of truth for
@@ -236,10 +254,21 @@ object IndexBuilder {
     }
   }
 
+  /** Observer invoked after every completed build/add phase with
+    * `(tag, name, wallSeconds)` — the bench harness plugs in here to write
+    * one attributed JSONL sample per phase (task-CPU/GC/load deltas), so a
+    * slow driver-environment build self-attributes per phase inside the
+    * bench artifact instead of requiring cross-run comparison. No-op by
+    * default; phases run sequentially on the caller's thread.
+    */
+  @volatile var phaseHook: (String, String, Double) => Unit = (_, _, _) => ()
+
   private[index] def phase[A](name: String, tag: String = "build")(f: => A): A = {
     val t0 = System.nanoTime()
     val a = f
-    System.err.println(f"[$tag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val wall = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[$tag] $name: $wall%.1f s")
+    phaseHook(tag, name, wall)
     a
   }
 
@@ -273,28 +302,44 @@ object IndexBuilder {
     val c = if (persistCorpus) c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else c0
     val dlCol = size(Tokenizer.tokensCol(col("content"))).cast("long")
 
-    // Corpus stats: one tiny row to the driver; avgdl parameterizes the
-    // posting Aggregators, so this pass runs first (like the reference
-    // persisting nodes before edges, pkg/crawl/crawl.go:148-166). Stats
-    // count TOKEN-BEARING docs only (dl > 0): zero-token docs get lineage
-    // rows but no postings (P7).
-    val statsRow = phase("stats")(
-      c.select(dlCol.as("dl")).filter(col("dl") > 0).agg(
-        count(lit(1)).as("n"),
-        avg(col("dl").cast("double")).as("avgdl"),
-        sum("dl").as("total")).head())
-    val stats = IndexStats(FormatVersion, statsRow.getLong(0), statsRow.getDouble(1), statsRow.getLong(2), numSalts, numBuckets)
-
-    // Docs sidecar: natural keys, doc length, and the sha256 per-row
-    // invariant captured at index time (BASELINE.json input_hint).
+    // Docs sidecar: natural keys, doc length, the sha256 per-row invariant
+    // captured at index time (BASELINE.json input_hint), and the
+    // content-derived link attribute (v7) — extracted in the SAME pass that
+    // already reads every byte of content for the sha, like the reference
+    // parsing links out of the page it just fetched (pkg/crawl/crawl.go:148-166).
     // Zero-token docs still get a docId + lineage row with dl=0 but
     // contribute no postings — the analog of the reference persisting
     // 404 nodes without descending them (pkg/crawl/crawl.go:109-118, P7).
     if (!Files.exists(Paths.get(s"${paths.docsDir}/_SUCCESS"))) phase("docs-sidecar") {
       c.select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
           dlCol.as("dl"), sha2(col("content"), 256).as("content_sha"),
-          lit(s"build:$buildArgs").as("batch_id"))
+          lit(s"build:$buildArgs").as("batch_id"),
+          LinkIndex.custCol(col("content")).as("cust"))
         .write.mode("overwrite").parquet(paths.docsDir)
+    }
+    val docsSidecar = spark.read.schema(DocsSchema).parquet(paths.docsDir)
+
+    // Corpus stats from the sidecar just written — a column-pruned scan of
+    // doc METADATA (one dl per doc), not a second pass over the corpus
+    // content: the stats action used to be one of three full-corpus scans
+    // in the build. avgdl parameterizes the posting Aggregators, so this
+    // still runs before the segments phase. Stats count TOKEN-BEARING docs
+    // only (dl > 0): zero-token docs get lineage rows but no postings (P7).
+    val statsRow = phase("stats")(
+      docsSidecar.select("dl").filter(col("dl") > 0).agg(
+        count(lit(1)).as("n"),
+        avg(col("dl").cast("double")).as("avgdl"),
+        sum("dl").as("total")).head())
+    val stats = IndexStats(FormatVersion, statsRow.getLong(0), statsRow.getDouble(1), statsRow.getLong(2), numSalts, numBuckets)
+
+    // Stored link graph (v7): derive the edge relation from the sidecar's
+    // doc metadata — NOT from content (that read happened exactly once,
+    // above) — and persist it beside the index. Traversals serve from the
+    // store (the reference stores `links: [uid] @count @reverse` and
+    // traverses the stored relation, pkg/database/relationship/dgraph.go:45,
+    // 62-92); v6 re-derived edges from raw content on every traversal.
+    if (!Files.exists(Paths.get(s"${paths.edgesDir}/_SUCCESS"))) phase("edges") {
+      LinkIndex.writeEdges(spark, LinkIndex.edgesOf(LinkIndex.nodesOf(docsSidecar)), paths.edgesDir)
     }
 
     // Salted segment build + global merge, resumable per salt — the

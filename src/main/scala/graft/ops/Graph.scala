@@ -43,7 +43,11 @@ object Graph {
     */
   val MaxDepth: Int = 10
 
-  val CustModulus: Int = 20
+  /** Aliases of the stored-graph semantics ([[graft.index.LinkIndex]] is
+    * the single definition — the content-derived path here and the stored
+    * artifact can never drift apart on link semantics).
+    */
+  val CustModulus: Int = graft.index.LinkIndex.CustModulus
 
   /** Repos whose cust-0 canonical docs serve as traversal roots in the
     * oracle entry (small fixed set — the reference's start-URL analog).
@@ -56,35 +60,17 @@ object Graph {
   def docNodes(corpus: DataFrame): DataFrame =
     Corpus.withDocId(corpus).select(
       col("doc_id"), col("repo"), col("path"),
-      regexp_extract(col("content"), "cust_([0-9]+)", 1).cast("int").as("cust"))
+      graft.index.LinkIndex.custCol(col("content")).as("cust"))
 
-  /** Canonical provider per (repo, cust): the doc with the MIN path —
-    * groupBy + join back (no window; same funnel-avoidance as
-    * [[Dedup.exact]]). Returns (repo, cust, canon_id, canon_path).
-    */
-  def canonicalProviders(nodes: DataFrame): DataFrame = {
-    val mins = nodes.groupBy("repo", "cust").agg(min("path").as("path"))
-    mins.join(nodes, Seq("repo", "cust", "path"))
-      .select(col("repo"), col("cust"), col("doc_id").as("canon_id"), col("path").as("canon_path"))
-  }
+  /** Canonical provider per (repo, cust) — see [[graft.index.LinkIndex.canonOf]]. */
+  def canonicalProviders(nodes: DataFrame): DataFrame =
+    graft.index.LinkIndex.canonOf(nodes)
 
   /** The intra-repo link relation: (src_id, dst_id) — every doc links to
     * the canonical provider of the next cust-module in its repo.
     */
-  def linkEdges(corpus: DataFrame): DataFrame = {
-    val nodes = docNodes(corpus)
-    edgesFrom(nodes, canonicalProviders(nodes))
-  }
-
-  /** The single definition of the edge join — [[linkEdges]] and
-    * [[reachBfs]] must never drift apart on the link semantics.
-    */
-  private def edgesFrom(nodes: DataFrame, canon: DataFrame): DataFrame =
-    nodes.join(
-      canon.withColumn("prev_cust", (col("cust") + lit(CustModulus) - 1) % CustModulus)
-        .select(col("repo"), col("prev_cust").as("cust"), col("canon_id")),
-      Seq("repo", "cust"))
-      .select(col("doc_id").as("src_id"), col("canon_id").as("dst_id"))
+  def linkEdges(corpus: DataFrame): DataFrame =
+    graft.index.LinkIndex.edgesOf(docNodes(corpus))
 
   /** Depth-bounded BFS from `roots` (root_id, doc_id) over `edges`
     * (src_id, dst_id): returns (root_id, doc_id, depth) for every node
@@ -138,9 +124,41 @@ object Graph {
   def reachBfs(spark: SparkSession, corpus: DataFrame, maxDepth: Int = 3): DataFrame = {
     val nodes = docNodes(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = canonicalProviders(nodes)
-    val edges = edgesFrom(nodes, canon)
+    val edges = graft.index.LinkIndex.edgesOf(nodes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = reachBoth(nodes, edges, maxDepth)
+    nodes.unpersist(); edges.unpersist()
+    out
+  }
+
+  /** [[reachBfs]] served from the STORED graph artifacts of an index root
+    * — node metadata from the docs sidecar, edges from the persisted
+    * `edges/` layers (newest-wins per src,
+    * [[graft.index.LinkIndex.readMergedEdges]]). NO content scan and no
+    * per-query edge re-derivation: the traversal cost is O(edge scan +
+    * hops), matching the reference's traverse-the-store shape
+    * (`pkg/database/relationship/dgraph.go:62-92`) — the v6 path recomputed
+    * nodes → canon → edges from raw content on every invocation.
+    */
+  def reachStored(spark: SparkSession, root: String, maxDepth: Int = 3): DataFrame = {
+    val nodes = graft.index.LinkIndex.nodesOf(
+      graft.index.Incremental.readMergedDocs(spark, root))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.index.LinkIndex.readMergedEdges(spark, root)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = reachBoth(nodes, edges, maxDepth)
+    nodes.unpersist(); edges.unpersist()
+    out
+  }
+
+  /** Shared bidirectional-reach body over an explicit (nodes, edges) pair —
+    * roots are the cust-0 canonical docs of [[RootRepos]]; output is the
+    * pinned oracle shape `(direction, root_repo, root_path, path, depth)`.
+    * Caller owns the persistence of `nodes`/`edges`; the returned frame is
+    * materialized and all intermediate BFS levels are released.
+    */
+  private def reachBoth(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+    val canon = canonicalProviders(nodes)
     val roots = canon.filter(col("cust") === 0 && col("repo").isin(RootRepos: _*))
       .select(col("canon_id").as("root_id"), col("canon_id").as("doc_id"))
 
@@ -162,7 +180,7 @@ object Graph {
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     // release every intermediate persist — only `out` (materialized above)
     // stays resident; a long-lived session must not accumulate BFS levels
-    nodes.unpersist(); edges.unpersist(); fwdReach.unpersist(); revReach.unpersist()
+    fwdReach.unpersist(); revReach.unpersist()
     out
   }
 }

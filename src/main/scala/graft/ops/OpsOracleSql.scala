@@ -83,20 +83,29 @@ object OpsOracleSql {
        #       count(*) OVER (PARTITION BY text_sha) AS group_size
        #FROM s ORDER BY doc_id""".stripMargin('#')
 
-  /** Winnowing fingerprints (mirrors [[TextOps.winnowFingerprints]]):
-    * rolling k-gram sha256 prefixes, min per w-window, distinct + sorted.
-    * DuckDB list slicing `h[i : i+w-1]` is INCLUSIVE both ends = Spark
-    * `slice(h, i, w)`; `range(1, x)` is end-exclusive = Spark
-    * `sequence(1, x-1)`.
+  /** Winnowing fingerprints (mirrors [[TextOps.winnowFingerprints]]): the
+    * Rabin–Karp polynomial k-gram hash per position (the SAME
+    * `Σ code·B^(k-1-j) mod M` the Spark side computes by rolling update —
+    * coefficients `B^e mod M` inlined from [[Winnow.pow]], every
+    * intermediate < 2^42 so plain BIGINT arithmetic suffices), then min per
+    * w-window, distinct + sorted. DuckDB list slicing `h[i : i+w-1]` is
+    * INCLUSIVE both ends = Spark `slice(h, i, w)`; `range(1, x)` is
+    * end-exclusive = Spark `sequence(1, x-1)`.
     */
   private val winnowCtes: String = {
     val k = TextOps.WinnowK
     val w = TextOps.WinnowW
+    val m = Winnow.Mod
+    // h(i) = (Σ_j ord(s[i+j]) * B^(k-1-j)) % M, j = 0..k-1
+    val poly = (0 until k).map { j =>
+      val off = if (j == 0) "CAST(i AS INTEGER)" else s"CAST(i + $j AS INTEGER)"
+      s"CAST(ascii(substr(text, $off, 1)) AS BIGINT) * ${Winnow.pow(k - 1 - j)}"
+    }.mkString(" + ")
     s"""wh AS MATERIALIZED (
        #  SELECT doc_id,
        #    CASE WHEN length(text) >= $k
        #      THEN list_transform(range(1, CAST(length(text) - ${k - 1} + 1 AS BIGINT)),
-       #                          i -> substr(sha256(substr(text, CAST(i AS INTEGER), $k)), 1, 16))
+       #                          i -> ($poly) % $m)
        #      ELSE [] END AS h
        #  FROM documents
        #),

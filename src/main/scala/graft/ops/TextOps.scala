@@ -84,32 +84,22 @@ object TextOps {
     * k-gram size and window width. A document's fingerprint set is the
     * distinct minima of each w-window over the rolling k-gram hash
     * sequence — guarantees any shared substring of length ≥ k + w − 1
-    * yields at least one shared fingerprint.
+    * yields at least one shared fingerprint. Single source of truth (incl.
+    * the Rabin–Karp hash constants): [[Winnow]].
     */
-  val WinnowK: Int = 8
-  val WinnowW: Int = 4
+  val WinnowK: Int = Winnow.K
+  val WinnowW: Int = Winnow.W
 
-  /** Sorted distinct winnowing fingerprints of a text column — pure Column
-    * expressions (higher-order transform over position sequences — no UDF,
-    * no per-doc window operator), so the work is codegen'd and embarrassingly
-    * parallel per document. Hashes are the first 16 hex chars of
-    * sha256(k-gram) (lexicographic min of hex == numeric min, same trick as
-    * [[Dedup.minhashSignatures]]); docs shorter than k yield an empty set,
-    * docs with fewer than w grams collapse to the single global minimum.
+  /** Sorted distinct winnowing fingerprints of a text column —
+    * `array<bigint>` from the single-pass native expression
+    * ([[Winnow.fingerprintsCol]]): one O(L) Rabin–Karp scan per document
+    * (rolling hash + monotonic-deque window minima) instead of the v6
+    * sha256-per-position Column tree, which cost ~two orders of magnitude
+    * more arithmetic. The DuckDB oracle evaluates the identical polynomial
+    * hash per position ([[OpsOracleSql]]), so cross-engine fingerprints
+    * stay bit-equal.
     */
-  def winnowFingerprints(text: Column): Column = {
-    val n = length(text)
-    val h = when(n >= WinnowK,
-      transform(sequence(lit(1), (n - (WinnowK - 1)).cast("int")),
-        i => sha2(text.substr(i, lit(WinnowK)), 256).substr(lit(1), lit(16))))
-      .otherwise(array().cast("array<string>"))
-    val m = size(h)
-    when(m >= WinnowW,
-      array_sort(array_distinct(transform(sequence(lit(1), m - (WinnowW - 1)),
-        i => array_min(slice(h, i, lit(WinnowW)))))))
-      .when(m > 0, array(array_min(h)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def winnowFingerprints(text: Column): Column = Winnow.fingerprintsCol(text)
 
   /** (doc_id, fingerprint) — one row per winnowing fingerprint per doc. */
   def winnow(docs: DataFrame): DataFrame =

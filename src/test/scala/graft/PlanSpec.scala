@@ -132,4 +132,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(joined)
     assert(p.contains("SortMergeJoin"), s"merge hint did not yield SMJ:\n$p")
   }
+
+  test("stored graph traversal scans the edges artifact, never the corpus source") {
+    val (paths, _) = graft.index.IndexBuilder.ensure(spark, sfDir)
+    val e = graft.index.LinkIndex.readMergedEdges(spark, paths.root)
+    val pe = plan(e)
+    assert(pe.contains("/edges"), s"edges read does not scan the stored artifact:\n$pe")
+    assert(!pe.contains("lineitem"), "stored edges must not derive from the corpus source")
+    // the traversal itself must never touch the synthesis source: nodes come
+    // from the docs sidecar, edges from the stored relation (the v6 shape
+    // re-tokenized the corpus per invocation)
+    val out = graft.ops.Graph.reachStored(spark, paths.root)
+    val po = plan(out)
+    assert(!po.contains("lineitem"), s"stored traversal re-derives from the corpus source:\n$po")
+    assert(out.count() > 0, "stored traversal returned no rows")
+  }
 }

@@ -27,12 +27,33 @@ class WinnowSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def fps(texts: (Long, String)*): Map[Long, Set[String]] = {
+  private def fps(texts: (Long, String)*): Map[Long, Set[Long]] = {
     val s = spark
     import s.implicits._
     TextOps.winnow(texts.toSeq.toDF("doc_id", "text"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+  }
+
+  test("rolling hash + deque minima == direct polynomial + naive minima (the oracle form)") {
+    import graft.ops.Winnow
+    val k = Winnow.K; val w = Winnow.W
+    for (s <- Seq(
+        "the quick brown fox 0123456789 zqxjkvwpbmf jumps",
+        "aaaaaaaaaaaaaaaaaa",         // degenerate: all-equal hashes
+        "abcdefghij",                 // m = 3 < w: global-min branch
+        "package parser import buffer cust_7")) {
+      // what DuckDB computes: the polynomial per position, naive window mins
+      val direct = (0 to s.length - k).map { i =>
+        (0 until k).map(j => s.charAt(i + j).toLong * Winnow.pow(k - 1 - j)).sum % Winnow.Mod
+      }
+      val naive =
+        if (direct.size < w) Set(direct.min)
+        else (0 to direct.size - w).map(i => direct.slice(i, i + w).min).toSet
+      val got = Winnow.fingerprints(s)
+      assert(got.toSet === naive, s"fingerprint set diverged for: $s")
+      assert(got.toSeq === got.toSeq.sorted, "fingerprints must come out sorted")
+    }
   }
 
   test("guarantee: a shared substring of length >= k + w - 1 shares a fingerprint") {
