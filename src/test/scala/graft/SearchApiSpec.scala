@@ -76,6 +76,30 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wand.map(_.getInt(1)).toSeq === (1 to wand.length), "ranks must be scope-local and gapless")
   }
 
+  test("large scope bypasses the broadcast-array probe (Bloom regime); results identical") {
+    val scope = QuerySet.scopeRepos
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))
+    val exact = SearchApi.search(spark, paths, Seq("func", "buffer"), 10,
+      repoScope = Some(scope)).collect()
+    val prev = graft.engine.IndexReader.scopeExactMax
+    // force every scope over the exact-probe bound; invalidate so the scope
+    // cache can't serve the already-built exact probe
+    graft.engine.IndexReader.scopeExactMax = 0L
+    graft.engine.IndexReader.invalidate(paths.root)
+    try {
+      val probe = graft.engine.IndexReader.get(spark, paths).scopeProbe(scope)
+      assert(!probe.exact, "scope above the exact bound must use the Bloom probe")
+      val bloom = SearchApi.search(spark, paths, Seq("func", "buffer"), 10,
+        repoScope = Some(scope)).collect()
+      assert(bloom.map(key).toSeq === exact.map(key).toSeq,
+        "Bloom-scoped results diverged from the exact-probe results")
+    } finally {
+      graft.engine.IndexReader.scopeExactMax = prev
+      graft.engine.IndexReader.invalidate(paths.root)
+    }
+  }
+
   test("empty repo scope rejects (400 analog); scoping to an absent repo yields empty") {
     intercept[IllegalArgumentException](
       SearchApi.search(spark, paths, Seq("func"), 10, repoScope = Some(Nil)))
