@@ -75,6 +75,10 @@ object NaiveSearch {
       .select(col("query_id"), posexplode(col("hits")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.repo"), col("col.path"), col("col.commit"), col("col.score_r"))
-      .orderBy("query_id", "rank")
+      // output is ≤ Σ k rows by the aggregate's bound: a single-partition
+      // sort gives the same total order as orderBy WITHOUT the range
+      // partitioner's per-query sampling job + exchange
+      .coalesce(1)
+      .sortWithinPartitions("query_id", "rank")
   }
 }

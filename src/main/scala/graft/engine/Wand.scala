@@ -225,9 +225,12 @@ object Wand {
       }
     }
     // attach the driver-local fast rows (already final-shaped) to a ranked
-    // distributed result; queryIds are disjoint across routes by partition
+    // distributed result; queryIds are disjoint across routes by partition.
+    // Output is ≤ Σk rows — a single-partition sort, not orderBy (whose
+    // range partitioner runs a sampling job per query).
     def withFast(ranked: DataFrame): DataFrame = fastLocalDf match {
-      case Some(f) => ranked.unionByName(f).orderBy("query_id", "rank")
+      case Some(f) => ranked.unionByName(f).coalesce(1)
+        .sortWithinPartitions("query_id", "rank")
       case None => ranked
     }
 
@@ -241,7 +244,7 @@ object Wand {
           .toDF("query_id", "rank", "repo", "path", "commit", "score_r"))
     if (meta.isEmpty)
       return withFast(NaiveSearch.rankByKeys(
-        nonWand.reduce(_ unionByName _).join(docKeys, "doc_id")))
+        docKeys.join(broadcast(nonWand.reduce(_ unionByName _)), "doc_id")))
 
     // segments are partitioned by (salt, bucket): the bucket IN filter
     // prunes to |query-term buckets| directories per salt, and the term IN
@@ -291,8 +294,17 @@ object Wand {
       }
       .toDF("query_id", "k", "doc_id", "score")
 
+    // Candidate sets are threshold-pruned (≤ k + ε-ties per shard per
+    // query; hybrid ≤ FastK + Σ df_rare) — BROADCAST them against the
+    // corpus-sized docs sidecar. Without the hint the initial plan is an
+    // SMJ whose docs-side hash shuffle (N rows) materializes as an AQE
+    // stage on EVERY query before AQE converts the join to broadcast
+    // anyway; the hint makes the docs side a plain in-memory columnar
+    // scan with no exchange. On a degenerate all-ties corpus the tie set
+    // can grow large, but that is exactly the size AQE's runtime stats
+    // already chose to broadcast (BuildLeft) on the same input.
     val allCand = (Seq(candidates) ++ nonWand).reduce(_ unionByName _)
-    withFast(NaiveSearch.rankByKeys(allCand.join(docKeys, "doc_id")))
+    withFast(NaiveSearch.rankByKeys(docKeys.join(broadcast(allCand), "doc_id")))
   }
 
   /** One term's shard sub-postings, accessed block-lazily: the cursor's

@@ -122,6 +122,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LSH verify recomputes the global shingle self-join:\n$p")
   }
 
+  test("serve ranking tail: candidates broadcast against docs, single-partition sort") {
+    val (paths, _) = graft.index.IndexBuilder.ensure(spark, sfDir)
+    graft.engine.Wand.ForceWandRoute = true
+    try {
+      val p = plan(graft.engine.Wand.topKAt(spark, paths, QuerySet.all))
+      // candidate sets are k + ε-ties bounded → they must be the broadcast
+      // side; without the hint the initial plan shuffles the corpus-sized
+      // docs sidecar on doc_id for an SMJ on EVERY query
+      assert(!p.contains("SortMergeJoin"), s"serve tail plans an SMJ against docs:\n$p")
+      // ≤ Σk output rows: a range-partitioned orderBy would run a sampling
+      // job + exchange per query for nothing
+      assert(!p.contains("rangepartitioning"), s"serve tail range-partitions its sort:\n$p")
+      assert(p.contains("Coalesce"), s"serve tail lost the single-partition sort:\n$p")
+    } finally graft.engine.Wand.ForceWandRoute = false
+  }
+
   test("incremental merge is a SortMergeJoin (full_outer on term)") {
     // build tiny base + delta through the public path and inspect the plan
     // indirectly: hint("merge") + full_outer on 1-row-per-term sides must
