@@ -141,14 +141,18 @@ final case class IndexReader(
       val spark = docs.sparkSession
       import spark.implicits._
       val scoped = docs.filter(col("repo").isin(repos.distinct: _*)).select("doc_id")
-      val n = scoped.count()
-      if (n <= IndexReader.scopeExactMax) {
-        val ids = scoped.as[Long].collect()
+      // regime probe and id fetch in ONE job: collect up to exactMax+1 ids —
+      // overflow (the rare huge-scope regime) is the only case that pays the
+      // extra count() the bloom sizing needs. A separate count()-then-collect
+      // would scan the docs sidecar twice for every common selective scope.
+      val exactMax = math.min(IndexReader.scopeExactMax, (Int.MaxValue - 8).toLong).toInt
+      val ids = scoped.limit(exactMax + 1).as[Long].collect()
+      if (ids.length <= exactMax) {
         java.util.Arrays.sort(ids)
         ExactScope(spark.sparkContext.broadcast(ids))
       } else {
         BloomScope(spark.sparkContext.broadcast(
-          scoped.stat.bloomFilter("doc_id", n, IndexReader.ScopeBloomFpp)))
+          scoped.stat.bloomFilter("doc_id", scoped.count(), IndexReader.ScopeBloomFpp)))
       }
     })
   }
@@ -170,7 +174,15 @@ sealed trait ScopeProbe extends Serializable {
     * broadcast handle, not the whole probe).
     */
   def fn: Long => Boolean
-  def destroy(): Unit
+  /** Drop the probe's executor-side broadcast blocks WITHOUT invalidating
+    * the broadcast: in-flight scoped queries (serve-while-mutating is the
+    * advertised steady state) keep working — a task that lost its executor
+    * copy re-fetches from the driver. `destroy()` here would make their
+    * retries throw "Attempted to use Broadcast after it was destroyed".
+    * Final destruction is the ContextCleaner's, once the last driver
+    * reference (the scopeCache entry) is dropped.
+    */
+  def release(): Unit
 }
 
 final case class ExactScope(
@@ -180,7 +192,7 @@ final case class ExactScope(
     val bc = ids
     d => java.util.Arrays.binarySearch(bc.value, d) >= 0
   }
-  override def destroy(): Unit = ids.destroy()
+  override def release(): Unit = ids.unpersist()
 }
 
 final case class BloomScope(
@@ -190,7 +202,7 @@ final case class BloomScope(
     val bc = bloom
     d => bc.value.mightContainLong(d)
   }
-  override def destroy(): Unit = bloom.destroy()
+  override def release(): Unit = bloom.unpersist()
 }
 
 object IndexReader {
@@ -202,7 +214,12 @@ object IndexReader {
     * production tuning goes through `GRAFT_SCOPE_EXACT_MAX`.
     */
   @volatile var scopeExactMax: Long =
-    sys.env.get("GRAFT_SCOPE_EXACT_MAX").map(_.toLong).getOrElse(4L * 1024 * 1024)
+    sys.env.get("GRAFT_SCOPE_EXACT_MAX").map { v =>
+      // fail with the cause named: a bare .toLong here would surface as an
+      // opaque ExceptionInInitializerError on the first IndexReader.get
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_SCOPE_EXACT_MAX must be an integer number of docIds, got '$v'"))
+    }.getOrElse(4L * 1024 * 1024)
 
   /** False-positive rate of the bloom scope probe — at 1e-6, an FP among a
     * query's ~10^4 evaluated candidates is a ~1% event, and each FP is still
@@ -325,12 +342,16 @@ object IndexReader {
           r.docs.unpersist()
           r.fast.foreach(_.unpersist())
         }
-        // scope probes are broadcasts, not persisted plans: destroy them so
-        // a long-lived serving session with many distinct scopes does not
-        // accumulate executor broadcast blocks across rebuilds (round-4
-        // advice); safe even when the context is stopped (no-op then).
+        // scope probes are broadcasts, not persisted plans: RELEASE (not
+        // destroy) them so a long-lived serving session with many distinct
+        // scopes does not accumulate executor broadcast blocks across
+        // rebuilds (round-4 advice), while scoped queries still in flight
+        // against the evicted reader keep working — unpersist leaves the
+        // broadcast re-fetchable from the driver, and clearing the cache
+        // below drops the last strong reference so the ContextCleaner
+        // finishes destruction once nothing holds the handle.
         r.scopeCache.values.foreach { probe =>
-          try probe.destroy() catch { case _: Exception => () }
+          try probe.release() catch { case _: Exception => () }
         }
         r.scopeCache.clear()
       }

@@ -23,10 +23,14 @@ import org.apache.spark.util.LongAccumulator
   *  - `blockSkips`: BMW window-skip events (blocks bounded below the heap
   *    threshold and never decompressed — the WAND effectiveness signal);
   *    per-query exact (counted inside the run's own cursors).
-  *  - `routedFast` / `routedHybrid` / `routedWand`: how many queries of the
-  *    batch each serving route took (driver-side adds at plan time — the
-  *    routing decision is driver metadata, so these are exact and
+  *  - `routedFast` / `routedHybrid` / `routedWand` / `routedAbsent`: how many
+  *    queries of the batch each serving route took (driver-side adds at plan
+  *    time — the routing decision is driver metadata, so these are exact and
   *    cache-independent; the per-route QPS/latency attribution signal).
+  *    `routedAbsent` counts queries whose terms are ALL absent from the index
+  *    (the 404-with-null-results analog — no route runs for them); the four
+  *    counters sum to the batch size, so per-route QPS denominators never
+  *    silently exclude 404s.
   */
 final case class QueryMetrics(
     candidates: LongAccumulator,
@@ -34,7 +38,8 @@ final case class QueryMetrics(
     blockSkips: LongAccumulator,
     routedFast: LongAccumulator,
     routedHybrid: LongAccumulator,
-    routedWand: LongAccumulator) extends Serializable {
+    routedWand: LongAccumulator,
+    routedAbsent: LongAccumulator) extends Serializable {
 
   def snapshot: Map[String, Long] = Map(
     "candidates_evaluated" -> candidates.value,
@@ -42,7 +47,8 @@ final case class QueryMetrics(
     "block_skips" -> blockSkips.value,
     "routed_fast" -> routedFast.value,
     "routed_hybrid" -> routedHybrid.value,
-    "routed_wand" -> routedWand.value)
+    "routed_wand" -> routedWand.value,
+    "routed_absent" -> routedAbsent.value)
 }
 
 object QueryMetrics {
@@ -52,7 +58,8 @@ object QueryMetrics {
     spark.sparkContext.longAccumulator("graft.query.blockSkips"),
     spark.sparkContext.longAccumulator("graft.query.routedFast"),
     spark.sparkContext.longAccumulator("graft.query.routedHybrid"),
-    spark.sparkContext.longAccumulator("graft.query.routedWand"))
+    spark.sparkContext.longAccumulator("graft.query.routedWand"),
+    spark.sparkContext.longAccumulator("graft.query.routedAbsent"))
 }
 
 /** Executor-local mutable counters for one WAND shard run (summed into the

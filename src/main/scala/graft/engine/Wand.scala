@@ -125,9 +125,14 @@ object Wand {
     //    with 2+ fast-listed terms (a doc containing several hot terms
     //    could outrank both prefixes, so prefix unions are unsound there).
     //
-    // All paths score with the SAME BM25.score Column expression and feed
-    // the same ranking tail — rank identity is by construction, and the
-    // shared oracle pins it.
+    // The hybrid and WAND paths score with the SAME BM25.score Column
+    // expression and feed the same ranking tail; the fast-single path scores
+    // on the driver with [[Postings.idf]]/[[Postings.tfNorm]] scalars, which
+    // MUST mirror BM25.score's Column tree op-for-op (the bit-equality
+    // contract is documented and spec-pinned at the mirror in [[Postings]] —
+    // change one side only and fast-route rank identity silently breaks).
+    // Rank identity across routes is then by construction, and the shared
+    // oracle pins it.
     val fastK = graft.index.IndexBuilder.FastK
     val metaAll = reader.termMeta(querySet.flatMap(_.terms).distinct)
     def presentOf(q: Query): Seq[String] = q.terms.distinct.filter(metaAll.contains)
@@ -154,6 +159,9 @@ object Wand {
       m.routedFast.add(fastSingleQs.size.toLong)
       m.routedHybrid.add(hybridQs.size.toLong)
       m.routedWand.add(wandQs.count(q => presentOf(q).nonEmpty).toLong)
+      // all-terms-absent queries run NO route (404 analog, zero result rows);
+      // counted separately so the four counters sum to the batch size
+      m.routedAbsent.add(wandQs.count(q => presentOf(q).isEmpty).toLong)
     }
 
     // FAST SINGLE — entirely driver-local, ZERO Spark jobs (v7): the stored

@@ -217,12 +217,27 @@ object Incremental {
       baseLayers.segmentsDirs :+ outPaths.segmentsDir,
       baseLayers.statsPaths :+ outPaths.statsPath,
       outPaths.statsPath, None)
-    IndexBuilder.deleteRecursively(java.nio.file.Paths.get(outPaths.fastDir))
+    // Staged swap, NOT an in-place rebuild: in the replay case (re-adding
+    // onto a root that already has a published snapshot) the live snapshot's
+    // newest layer references THIS fastDir, so deleting it for the duration
+    // of the rebuild would leave the published root without its sidecar for
+    // the whole decode+TopK pass (and a crash inside would make that
+    // permanent until the next publish). Build beside it, then two renames:
+    // the no-sidecar window shrinks to the rename itself, and a crash inside
+    // that window degrades to the fast-route-off fallback ([[IndexReader]]
+    // fastFor: no _SUCCESS → WAND route — never a stale order), self-healed
+    // by the next add/compact.
+    val fastFinal = java.nio.file.Paths.get(outPaths.fastDir)
+    val fastStage = java.nio.file.Paths.get(outPaths.fastDir + ".next")
+    IndexBuilder.deleteRecursively(fastStage)
     IndexBuilder.buildFastSidecar(
       spark, currentIndex(spark, layeredView),
       layeredView.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
         .reduce(_ unionByName _),
-      newStats, outPaths.fastDir)
+      newStats, fastStage.toString)
+    IndexBuilder.deleteRecursively(fastFinal)
+    java.nio.file.Files.move(fastStage, fastFinal,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
 
     // persist stats + the layered snapshot: the merged table is openable
     // from outPaths alone.
