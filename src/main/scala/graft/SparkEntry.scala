@@ -241,6 +241,22 @@ object SparkEntry {
     "bm25_wand_incr_topk" -> ((s, dir) =>
       graft.engine.Wand.topKAt(s, ensureIncr(s, dir), QuerySet.all)),
 
+    // v7 fast lists over the LAYERED root: addBatch re-ranks the whole fast
+    // sidecar at the post-add stats (tfNorm ORDER is not avgdl-stable), so
+    // hot single-term queries stay O(k) between an add and the next compact —
+    // the steady state at 100 TB, where the layered window never closes.
+    // Route engagement is asserted in-line: rank identity alone could come
+    // silently from the WAND fallback, so this entry fails loudly if the
+    // fast route ever stops engaging on layered roots.
+    "bm25_fast_incr_topk" -> ((s, dir) => {
+      val out = ensureIncr(s, dir)
+      val m = graft.engine.QueryMetrics(s)
+      val res = graft.engine.Wand.topKAt(s, out, QuerySet.singleTerm, Some(m))
+      require(m.routedFast.value >= 1L,
+        s"fast route did not engage on the layered root: ${m.snapshot}")
+      res
+    }),
+
     // Three-batch LSM chain: build on ⅓ of the corpus, then two successive
     // addBatch calls (⅔, then full) — each appends one delta layer on top
     // of the previous snapshot (base files never rewritten). The 3-layer
@@ -499,6 +515,10 @@ object SparkEntry {
     // single-layer index paths (incremental == rebuild at the query surface)
     "bm25_incremental_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
     "bm25_wand_incr_topk" -> OracleSql.bm25TopK(QuerySet.duckValues),
+    // fast route over the layered root: same single-term oracle as
+    // bm25_fast_topk — the add-then-serve path must be rank-identical to
+    // the full-corpus scoring
+    "bm25_fast_incr_topk" -> OracleSql.bm25TopK(QuerySet.duckValuesFor(QuerySet.singleTerm)),
 
     // compacted single layer == the tf aggregate (decode-level identity
     // with a from-scratch rebuild; layer count pinned by the entry itself)

@@ -178,6 +178,38 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Wand.HybridMaxRarePostings = prev
   }
 
+  test("layered root: addBatch re-ranks the sidecar, fast route engages at the new avgdl") {
+    // the steady state at scale: between an add and the next compact the
+    // root is layered, and hot single-term queries must STILL be O(k) —
+    // the sidecar is whole-re-ranked at the post-add stats by addBatch
+    // (tfNorm order is not avgdl-stable, so the base build's prefixes
+    // cannot be reused)
+    val root = "target/graft-index/test-fast-layered"
+    Bench.deleteTree(root)
+    val basePaths = graft.index.IndexPaths(s"$root/base")
+    val outPaths = graft.index.IndexPaths(s"$root/out")
+    val full = graft.corpus.Corpus.corpus(spark, sfDir)
+    IndexBuilder.build(spark, graft.corpus.Corpus.baseSlice(full), basePaths,
+      buildArgs = "fast-layered-base")
+    graft.index.Incremental.addBatch(spark, basePaths, full, outPaths)
+    val reader = IndexReader.get(spark, outPaths)
+    assert(reader.layers.size === 2, "fixture must be a genuinely layered root")
+    val m = QueryMetrics(spark)
+    val got = Wand.topKAt(spark, outPaths, Seq(Query("lay", Seq("func"), 10)), Some(m)).collect()
+    assert(m.routedFast.value === 1L,
+      s"fast route must engage on the layered root: ${m.snapshot}")
+    assert(m.candidates.value === 10L, "layered fast serve must evaluate k, not df")
+    // rank-identical to the naive oracle plan over the FULL corpus (the
+    // layered root's merged content)
+    val s = spark; import s.implicits._
+    val want = NaiveSearch.topK(spark, full,
+      Seq(("lay", "func", 10)).toDF("query_id", "term", "k")).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))
+    assert(got.map(key).toSeq === want.map(key).toSeq,
+      "layered fast serve diverged from the full-corpus oracle plan")
+  }
+
   test("k > FastK falls back to the exact path (and still matches naive)") {
     val q = Query("big", Seq("func"), IndexBuilder.FastK + 1)
     val m = QueryMetrics(spark)
