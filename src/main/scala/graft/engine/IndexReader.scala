@@ -89,6 +89,12 @@ final case class IndexReader(
 
   // repo-scope key -> broadcast scope probe (see scopeProbe)
   private[engine] val scopeCache = TrieMap.empty[String, ScopeProbe]
+  // guards probe construction: TrieMap.getOrElseUpdate may evaluate the
+  // thunk on BOTH racing threads (the same hazard IndexReader.open guards
+  // with openLock) — the loser's scope scan would be a duplicate Spark job
+  // and its broadcast would linger un-released until GC, since invalidate()
+  // only releases probes that won the cache slot
+  private val scopeLock = new Object
 
   // term -> its fast-list row, or None (no fast list / absent term)
   private val fastCache = TrieMap.empty[String, Option[FastList]]
@@ -137,23 +143,25 @@ final case class IndexReader(
     */
   def scopeProbe(repos: Seq[String]): ScopeProbe = {
     val key = repos.distinct.sorted.mkString("\u0000")
-    scopeCache.getOrElseUpdate(key, {
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val scoped = docs.filter(col("repo").isin(repos.distinct: _*)).select("doc_id")
-      // regime probe and id fetch in ONE job: collect up to exactMax+1 ids —
-      // overflow (the rare huge-scope regime) is the only case that pays the
-      // extra count() the bloom sizing needs. A separate count()-then-collect
-      // would scan the docs sidecar twice for every common selective scope.
-      val exactMax = math.min(IndexReader.scopeExactMax, (Int.MaxValue - 8).toLong).toInt
-      val ids = scoped.limit(exactMax + 1).as[Long].collect()
-      if (ids.length <= exactMax) {
-        java.util.Arrays.sort(ids)
-        ExactScope(spark.sparkContext.broadcast(ids))
-      } else {
-        BloomScope(spark.sparkContext.broadcast(
-          scoped.stat.bloomFilter("doc_id", scoped.count(), IndexReader.ScopeBloomFpp)))
-      }
+    scopeCache.get(key).getOrElse(scopeLock.synchronized {
+      scopeCache.getOrElseUpdate(key, {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val scoped = docs.filter(col("repo").isin(repos.distinct: _*)).select("doc_id")
+        // regime probe and id fetch in ONE job: collect up to exactMax+1 ids —
+        // overflow (the rare huge-scope regime) is the only case that pays the
+        // extra count() the bloom sizing needs. A separate count()-then-collect
+        // would scan the docs sidecar twice for every common selective scope.
+        val exactMax = math.min(IndexReader.scopeExactMax, (Int.MaxValue - 8).toLong).toInt
+        val ids = scoped.limit(exactMax + 1).as[Long].collect()
+        if (ids.length <= exactMax) {
+          java.util.Arrays.sort(ids)
+          ExactScope(spark.sparkContext.broadcast(ids))
+        } else {
+          BloomScope(spark.sparkContext.broadcast(
+            scoped.stat.bloomFilter("doc_id", scoped.count(), IndexReader.ScopeBloomFpp)))
+        }
+      })
     })
   }
 }

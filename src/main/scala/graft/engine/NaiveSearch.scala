@@ -66,7 +66,15 @@ object NaiveSearch {
     * aggregate's pinned (score_r desc, repo/path/commit asc) order, which is
     * exactly the oracle's `row_number()` order.
     */
-  def rankByKeys(scoredWithKeys: DataFrame): DataFrame = {
+  def rankByKeys(scoredWithKeys: DataFrame): DataFrame =
+    sortedTail(rankByKeysUnsorted(scoredWithKeys))
+
+  /** The ranking aggregate WITHOUT the output-edge sort — for callers that
+    * union more final-shaped rows in before sorting ([[Wand.topKAt]]'s
+    * driver-local fast rows), so the tail pays exactly ONE single-partition
+    * sort, not one per union arm.
+    */
+  private[graft] def rankByKeysUnsorted(scoredWithKeys: DataFrame): DataFrame = {
     val hits = scoredWithKeys
       .groupBy("query_id")
       .agg(TopKAggExprs.topK(col("k"), BM25.quantize(col("score")),
@@ -75,10 +83,12 @@ object NaiveSearch {
       .select(col("query_id"), posexplode(col("hits")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.repo"), col("col.path"), col("col.commit"), col("col.score_r"))
-      // output is ≤ Σ k rows by the aggregate's bound: a single-partition
-      // sort gives the same total order as orderBy WITHOUT the range
-      // partitioner's per-query sampling job + exchange
-      .coalesce(1)
-      .sortWithinPartitions("query_id", "rank")
   }
+
+  /** Output-edge total order over a final-shaped (≤ Σ k rows) result: a
+    * single-partition sort gives the same order as `orderBy` WITHOUT the
+    * range partitioner's per-query sampling job + exchange.
+    */
+  private[graft] def sortedTail(ranked: DataFrame): DataFrame =
+    ranked.coalesce(1).sortWithinPartitions("query_id", "rank")
 }

@@ -232,15 +232,17 @@ object Wand {
         case _ => base
       }
     }
-    // attach the driver-local fast rows (already final-shaped) to a ranked
-    // distributed result; queryIds are disjoint across routes by partition.
-    // Output is ≤ Σk rows — a single-partition sort, not orderBy (whose
-    // range partitioner runs a sampling job per query).
-    def withFast(ranked: DataFrame): DataFrame = fastLocalDf match {
-      case Some(f) => ranked.unionByName(f).coalesce(1)
-        .sortWithinPartitions("query_id", "rank")
-      case None => ranked
-    }
+    // attach the driver-local fast rows (already final-shaped) to the
+    // UNSORTED ranked result, then apply the output-edge total order ONCE
+    // (queryIds are disjoint across routes by partition; rankByKeys' own
+    // sorted form would pay a second single-partition sort on every mixed
+    // batch). Output is ≤ Σk rows — a single-partition sort, not orderBy
+    // (whose range partitioner runs a sampling job per query).
+    def withFast(rankedUnsorted: DataFrame): DataFrame =
+      NaiveSearch.sortedTail(fastLocalDf match {
+        case Some(f) => rankedUnsorted.unionByName(f)
+        case None => rankedUnsorted
+      })
 
     val nonWand: Seq[DataFrame] = hybridCand.toSeq
     if (meta.isEmpty && nonWand.isEmpty)
@@ -251,7 +253,7 @@ object Wand {
         spark.emptyDataset[(String, Int, String, String, String, Double)]
           .toDF("query_id", "rank", "repo", "path", "commit", "score_r"))
     if (meta.isEmpty)
-      return withFast(NaiveSearch.rankByKeys(
+      return withFast(NaiveSearch.rankByKeysUnsorted(
         docKeys.join(broadcast(nonWand.reduce(_ unionByName _)), "doc_id")))
 
     // segments are partitioned by (salt, bucket): the bucket IN filter
@@ -312,7 +314,7 @@ object Wand {
     // can grow large, but that is exactly the size AQE's runtime stats
     // already chose to broadcast (BuildLeft) on the same input.
     val allCand = (Seq(candidates) ++ nonWand).reduce(_ unionByName _)
-    withFast(NaiveSearch.rankByKeys(docKeys.join(broadcast(allCand), "doc_id")))
+    withFast(NaiveSearch.rankByKeysUnsorted(docKeys.join(broadcast(allCand), "doc_id")))
   }
 
   /** One term's shard sub-postings, accessed block-lazily: the cursor's

@@ -170,6 +170,13 @@ object IndexBuilder {
   val DefaultNumSalts: Int = 16
   val DefaultNumBuckets: Int = 32
 
+  /** In-flight format marker: records the FormatVersion a build STARTED at,
+    * before any phase runs (stats.json is only written on completion), so a
+    * resumed build can detect cross-version partial artifacts and wipe them
+    * instead of trusting their schema-blind `_SUCCESS` guards.
+    */
+  private[index] def formatMarkerPath(paths: IndexPaths): String = s"${paths.root}/format.json"
+
   // ---------- JSON helpers (no deps; values are numbers/flat strings) ----------
 
   private def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -291,6 +298,28 @@ object IndexBuilder {
       numBuckets: Int = DefaultNumBuckets,
       buildArgs: String = "",
       persistCorpus: Boolean = true): IndexStats = {
+    // Format guard (resume safety): the per-phase _SUCCESS guards below are
+    // schema-blind — a root built at an OLDER FormatVersion has _SUCCESS
+    // markers whose parquet lacks the current schema's columns (a v6 docs
+    // sidecar has no `cust`, a v6 fast sidecar no doc keys), and resuming
+    // over them would re-stamp the root v7 around silently-broken artifacts
+    // (an empty stored link graph, an NPE-ing fast route). If the root
+    // records ANY other version — a finished build (stats.json) or an
+    // in-flight one (the format marker, written before the first phase
+    // because stats.json only lands at the end) — wipe every derived
+    // artifact and rebuild from the corpus. Same-version interrupted
+    // builds still resume per phase, which is the point of the guards.
+    val recordedVersion = readStats(paths).map(_.version).orElse(
+      readJsonNumber(Paths.get(formatMarkerPath(paths)), "format").map(_.toInt))
+    if (recordedVersion.exists(_ != FormatVersion)) phase("format-wipe") {
+      graft.engine.IndexReader.invalidate(paths.root)
+      Seq(paths.docsDir, paths.edgesDir, paths.fastDir, paths.indexDir,
+        paths.segmentsDir, paths.manifestsDir)
+        .foreach(d => deleteRecursively(Paths.get(d)))
+      Files.deleteIfExists(Paths.get(paths.statsPath))
+    }
+    writeJson(formatMarkerPath(paths), Seq("format" -> FormatVersion))
+
     // The corpus lineage feeds three actions (stats, docs write, segment
     // build); persist it once instead of recomputing the synthesis per
     // action. The tf relation is NOT persisted: it has exactly one consumer

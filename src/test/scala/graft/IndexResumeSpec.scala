@@ -88,6 +88,45 @@ class IndexResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     deleteTree(rootA)
   }
 
+  test("cross-format resume wipes stale artifacts instead of re-stamping them") {
+    // The per-phase _SUCCESS guards are schema-blind: a root built at an
+    // OLDER FormatVersion has markers whose parquet lacks current columns
+    // (a v6 docs sidecar has no cust, a v6 fast sidecar no doc keys), and a
+    // naive resume would stamp it v7 around broken artifacts (empty stored
+    // edges, NPE-ing fast route). build() must detect the version mismatch
+    // — from stats.json (finished old build) or the in-flight format marker
+    // — and rebuild everything from the corpus.
+    val corpus = Corpus.corpus(spark, sfDir)
+    val root = Files.createTempDirectory("graft-format").toString
+    val p = IndexPaths(root)
+    IndexBuilder.build(spark, corpus, p)
+    val single = indexContent(p)
+
+    // simulate a finished older-format build: same _SUCCESS markers on
+    // disk, stats recording version-1, plus a sentinel that only survives
+    // if build() trusts the stale markers
+    val stale = Files.readString(Paths.get(p.statsPath))
+      .replace(s""""version": ${IndexBuilder.FormatVersion}""",
+        s""""version": ${IndexBuilder.FormatVersion - 1}""")
+    Files.writeString(Paths.get(p.statsPath), stale)
+    val sentinel = Paths.get(s"${p.docsDir}/stale-format-sentinel")
+    Files.writeString(sentinel, "v6 leftovers")
+    assert(!IndexBuilder.isComplete(p))
+
+    IndexBuilder.build(spark, corpus, p)
+    assert(!Files.exists(sentinel), "cross-format resume kept the stale docs sidecar")
+    assert(IndexBuilder.isComplete(p))
+    assert(IndexBuilder.readStats(p).get.version == IndexBuilder.FormatVersion)
+    assert(indexContent(p) == single, "format-wiped rebuild differs from clean build")
+    // the v7 sidecars must be real, not empty re-stamps: edges non-empty and
+    // the fast sidecar readable through the CURRENT schema with doc keys
+    assert(spark.read.parquet(p.edgesDir).count() > 0)
+    val fastRow = spark.read.schema(IndexBuilder.FastSchema).parquet(p.fastDir)
+      .filter(org.apache.spark.sql.functions.col("repos").isNotNull)
+    assert(fastRow.count() > 0, "rebuilt fast sidecar lacks v7 doc-key columns")
+    deleteTree(root)
+  }
+
   test("manifest metrics reconcile with global stats (token/posting counts)") {
     val corpus = Corpus.corpus(spark, sfDir)
     val root = Files.createTempDirectory("graft-manifest").toString

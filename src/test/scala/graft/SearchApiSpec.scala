@@ -100,6 +100,27 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrent scope probes for one new scope build exactly one probe") {
+    // scopeProbe construction is lock-guarded: a bare TrieMap.getOrElseUpdate
+    // can run the thunk on BOTH racing threads, duplicating the scope-scan
+    // job and leaking the loser's broadcast (invalidate only releases probes
+    // that won the cache slot). Under the lock, both callers must observe
+    // the SAME probe instance.
+    val scope = QuerySet.scopeRepos
+    graft.engine.IndexReader.invalidate(paths.root)
+    val reader = graft.engine.IndexReader.get(spark, paths)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val probes = new java.util.concurrent.ConcurrentLinkedQueue[graft.engine.ScopeProbe]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => { start.await(); probes.add(reader.scopeProbe(scope)) })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    val ps = probes.toArray(Array.empty[graft.engine.ScopeProbe])
+    assert(ps.length == 2 && (ps(0) eq ps(1)),
+      "racing scopeProbe calls built distinct probe instances")
+    graft.engine.IndexReader.invalidate(paths.root)
+  }
+
   test("empty repo scope rejects (400 analog); scoping to an absent repo yields empty") {
     intercept[IllegalArgumentException](
       SearchApi.search(spark, paths, Seq("func"), 10, repoScope = Some(Nil)))
