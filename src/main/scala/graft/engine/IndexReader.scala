@@ -124,6 +124,36 @@ final case class IndexReader(
         })
     }
 
+  /** Batched fast-list warmup for a query batch: ONE bucket-pruned probe
+    * covers every not-yet-cached term (the per-term [[fastList]] path costs
+    * one Spark job per cold term — a cold batch with T distinct hot terms
+    * would pay T serial jobs, this pays 1). Terms already known rare from
+    * [[termMeta]] (df < [[IndexBuilder.FastMinDf]]) cannot have fast lists
+    * by construction and are cached as absent with zero jobs.
+    */
+  def prefetchFastLists(terms: Seq[String]): Unit = fast match {
+    case None => ()
+    case Some(f) =>
+      val missing = terms.distinct.filterNot(fastCache.contains)
+      val (knownRare, candidates) = missing.partition(t =>
+        termCache.get(t).exists(_._1 < IndexBuilder.FastMinDf))
+      knownRare.foreach(fastCache.put(_, None))
+      if (candidates.nonEmpty) {
+        import f.sparkSession.implicits._
+        val buckets = candidates.map(TermHash.bucket(_, stats.numBuckets)).distinct
+        val rows = f.filter(col("bucket").isin(buckets: _*))
+          .filter(col("term").isin(candidates: _*))
+          .select("term", "df", "doc_ids", "tfs", "dls", "repos", "paths", "commits")
+          .as[(String, Long, Array[Long], Array[Int], Array[Long], Array[String], Array[String], Array[String])]
+          .collect()
+        rows.foreach { case (t, df, ids, tfs, dls, repos, paths, commits) =>
+          fastCache.put(t, Some(FastList(df, ids, tfs, dls, repos, paths, commits)))
+        }
+        val found = rows.iterator.map(_._1).toSet
+        candidates.filterNot(found).foreach(fastCache.put(_, None))
+      }
+  }
+
   /** Membership structure for the query-scoped corpus restriction, cached
     * per reader + scope key (the one docs-sidecar scan it costs runs once
     * per distinct scope, then scoped queries plan with zero extra jobs).

@@ -136,6 +136,12 @@ object Wand {
     val fastK = graft.index.IndexBuilder.FastK
     val metaAll = reader.termMeta(querySet.flatMap(_.terms).distinct)
     def presentOf(q: Query): Seq[String] = q.terms.distinct.filter(metaAll.contains)
+    // warm the fast-list cache for the whole batch in ONE probe (the
+    // per-term path pays one Spark job per cold term; termMeta above already
+    // settled dfs, so known-rare terms are skipped without any job)
+    if (!ForceWandRoute && scope.isEmpty)
+      reader.prefetchFastLists(
+        querySet.filter(_.k <= fastK).flatMap(_.terms).distinct.filter(metaAll.contains))
     def fastOf(q: Query): Seq[String] =
       if (!ForceWandRoute && scope.isEmpty && q.k <= fastK)
         presentOf(q).filter(t => reader.fastList(t).isDefined)

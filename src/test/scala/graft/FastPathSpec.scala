@@ -108,6 +108,33 @@ class FastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("batched prefetch settles the fast-list cache: per-term probes run zero jobs after it") {
+    // a cold batch with T distinct hot terms must pay ONE probe job, not T:
+    // prefetchFastLists covers all missing terms in one bucket-pruned scan,
+    // and termMeta-known-rare terms are cached as absent without any job
+    IndexReader.invalidate(paths.root)
+    val reader = IndexReader.get(spark, paths)
+    val terms = Seq("func", "handler_0_3", "zzznotfound")
+    reader.termMeta(terms) // settle dfs (separate one-time jobs)
+    reader.prefetchFastLists(terms)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(reader.fastList("func").isDefined)
+      assert(reader.fastList("handler_0_3").isEmpty)
+      assert(reader.fastList("zzznotfound").isEmpty)
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs.get === 0,
+        s"fastList after prefetch scheduled ${jobs.get} jobs; the batch probe must cover all terms")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("serving path (fast + WAND mix) is rank-identical to the naive oracle plan") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5))
