@@ -1,6 +1,6 @@
 package graft
 
-import graft.corpus.{Corpus, OracleSql}
+import graft.corpus.{Corpus, CorpusTable, OracleSql}
 import graft.engine.NaiveSearch
 import graft.queries.QuerySet
 import graft.tokenize.Tokenizer
@@ -85,6 +85,36 @@ object SparkEntry {
       Corpus.corpus(s, dir)
         .withColumn("content_sha", sha2(col("content"), 256))
         .orderBy("repo", "path", "commit")),
+
+    // S1-Iceberg: snapshot-versioned corpus SOURCE table (input_hint's
+    // "Iceberg table of source-code repositories") — create at v1 with a
+    // deterministic third of the corpus, append the other two thirds as v2
+    // and v3 (append-without-rewrite), then TIME-TRAVEL: per-version
+    // aggregates read each immutable snapshot after later appends landed.
+    // The slice key is commit-derived (commit = sha256 prefix, computable
+    // in DuckDB too), so the oracle reproduces each snapshot's row set from
+    // the corpus CTE alone. CorpusTableSpec pins file immutability and
+    // isolation; this entry pins the per-snapshot CONTENTS cross-engine.
+    "corpus_table_timetravel" -> ((s, dir) => {
+      val name = java.nio.file.Paths.get(dir).getFileName.toString
+      val root = s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/corpus-table-$name"
+      val cls = ascii(substring(col("commit"), 1, 1)) % 3
+      if (!CorpusTable.currentVersion(root).contains(3)) {
+        graft.index.IndexBuilder.deleteRecursively(java.nio.file.Paths.get(root))
+        val full = Corpus.corpus(s, dir)
+        CorpusTable.create(s, full.filter(cls === 0), root)
+        CorpusTable.append(s, full.filter(cls === 1), root)
+        CorpusTable.append(s, full.filter(cls === 2), root)
+      }
+      (1 to 3).map { v =>
+        CorpusTable.read(s, root, asOf = Some(v))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("repo")).as("n_repos"),
+            sum(length(col("content")).cast("long")).as("sum_len"))
+          .select(lit(v).as("version"), col("n_docs"), col("n_repos"), col("sum_len"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
 
     // E1 tokenize + A1 tf aggregation.
     "tokenize_tf" -> ((s, dir) => tokenizeTf(s, dir).orderBy("repo", "path", "commit", "term")),
@@ -396,6 +426,20 @@ object SparkEntry {
       s"""WITH ${OracleSql.corpusCte}
          #SELECT repo, path, commit, lang, content, sha256(content) AS content_sha
          #FROM corpus ORDER BY repo, path, commit""".stripMargin('#'),
+
+    // snapshot v contains slice classes 0..v-1 (commit-derived class, both
+    // engines compute ascii over the same sha256-hex first char)
+    "corpus_table_timetravel" ->
+      s"""WITH ${OracleSql.corpusCte},
+         #sliced AS MATERIALIZED (
+         #  SELECT repo, content, ascii(substr(commit, 1, 1)) % 3 AS cls FROM corpus
+         #)
+         #SELECT v.version, count(*) AS n_docs,
+         #       count(DISTINCT s.repo) AS n_repos,
+         #       CAST(sum(length(s.content)) AS BIGINT) AS sum_len
+         #FROM (VALUES (1), (2), (3)) v(version)
+         #JOIN sliced s ON s.cls < v.version
+         #GROUP BY v.version ORDER BY v.version""".stripMargin('#'),
 
     "tokenize_tf" ->
       s"""WITH ${OracleSql.corpusCte}, ${OracleSql.tokenCtes}
