@@ -100,11 +100,18 @@ object SparkEntry {
       val root = s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/corpus-table-$name"
       val cls = ascii(substring(col("commit"), 1, 1)) % 3
       if (!CorpusTable.currentVersion(root).contains(3)) {
-        graft.index.IndexBuilder.deleteRecursively(java.nio.file.Paths.get(root))
+        // drop() removes the hint FIRST: a crash mid-wipe leaves "no table",
+        // never a version-3 hint over partially-deleted data that this
+        // reuse guard would trust. One persisted synthesis feeds all three
+        // writes (the same convention as IndexBuilder.build's corpus cache).
+        CorpusTable.drop(root)
         val full = Corpus.corpus(s, dir)
-        CorpusTable.create(s, full.filter(cls === 0), root)
-        CorpusTable.append(s, full.filter(cls === 1), root)
-        CorpusTable.append(s, full.filter(cls === 2), root)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          CorpusTable.create(s, full.filter(cls === 0), root)
+          CorpusTable.append(s, full.filter(cls === 1), root)
+          CorpusTable.append(s, full.filter(cls === 2), root)
+        } finally full.unpersist()
       }
       (1 to 3).map { v =>
         CorpusTable.read(s, root, asOf = Some(v))
@@ -429,16 +436,19 @@ object SparkEntry {
 
     // snapshot v contains slice classes 0..v-1 (commit-derived class, both
     // engines compute ascii over the same sha256-hex first char)
+    // LEFT JOIN + count(s.repo): a version whose slices are all empty must
+    // still emit its row (n_docs=0, sum_len NULL) to match the Spark side's
+    // unconditional three aggregates
     "corpus_table_timetravel" ->
       s"""WITH ${OracleSql.corpusCte},
          #sliced AS MATERIALIZED (
          #  SELECT repo, content, ascii(substr(commit, 1, 1)) % 3 AS cls FROM corpus
          #)
-         #SELECT v.version, count(*) AS n_docs,
+         #SELECT v.version, count(s.repo) AS n_docs,
          #       count(DISTINCT s.repo) AS n_repos,
          #       CAST(sum(length(s.content)) AS BIGINT) AS sum_len
          #FROM (VALUES (1), (2), (3)) v(version)
-         #JOIN sliced s ON s.cls < v.version
+         #LEFT JOIN sliced s ON s.cls < v.version
          #GROUP BY v.version ORDER BY v.version""".stripMargin('#'),
 
     "tokenize_tf" ->

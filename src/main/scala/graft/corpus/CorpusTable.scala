@@ -1,6 +1,6 @@
 package graft.corpus
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -44,29 +44,27 @@ object CorpusTable {
 
   def metadataDir(root: String): String = s"$root/metadata"
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
+  // the snapshot-protocol primitives (JSON string escaping, escape-aware
+  // array parsing, atomic tmp+move publish) are SHARED with the index-side
+  // graft.index.Snapshots — one implementation, so the two sides can't drift
   private def writeSnapshot(root: String, snap: TableSnapshot): Unit = {
     val dir = Paths.get(metadataDir(root))
     Files.createDirectories(dir)
     val body =
       s"""{"format_version": 1, "snapshot_version": ${snap.version},
-         | "data_dirs": ${snap.dataDirs.map(jstr).mkString("[", ", ", "]")}}""".stripMargin
-    val meta = dir.resolve(s"v${snap.version}.metadata.json")
-    val tmp = dir.resolve(s"v${snap.version}.metadata.json.tmp")
-    Files.writeString(tmp, body)
-    Files.move(tmp, meta, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val hintTmp = dir.resolve("version-hint.text.tmp")
-    Files.writeString(hintTmp, snap.version.toString)
-    Files.move(hintTmp, dir.resolve("version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+         | "data_dirs": ${snap.dataDirs.map(graft.index.Snapshots.jstr).mkString("[", ", ", "]")}}""".stripMargin
+    graft.index.Snapshots.atomicWrite(dir.resolve(s"v${snap.version}.metadata.json"), body)
+    graft.index.Snapshots.atomicWrite(dir.resolve("version-hint.text"), snap.version.toString)
   }
 
-  /** The current snapshot version per the hint file, if the table exists. */
+  /** The current snapshot version per the hint file, if the table exists.
+    * A corrupt hint THROWS (same semantics as the index-side protocol) —
+    * returning None here would let `create` silently build v1 over an
+    * existing table's data dirs.
+    */
   def currentVersion(root: String): Option[Int] = {
     val hint = Paths.get(metadataDir(root), "version-hint.text")
-    if (Files.exists(hint)) Files.readString(hint).trim.toIntOption else None
+    if (Files.exists(hint)) Some(Files.readString(hint).trim.toInt) else None
   }
 
   /** Load one immutable snapshot's metadata. */
@@ -74,11 +72,17 @@ object CorpusTable {
     val p = Paths.get(metadataDir(root), s"v$version.metadata.json")
     if (!Files.exists(p))
       throw new IllegalArgumentException(s"corpus table $root has no snapshot v$version")
-    val txt = Files.readString(p)
-    val dirs = "\"data_dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-      .map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-    TableSnapshot(version, dirs)
+    TableSnapshot(version,
+      graft.index.Snapshots.readArr(Files.readString(p), "data_dirs"))
+  }
+
+  /** Drop the table, crash-safely: the version hint goes FIRST (an
+    * interrupted drop leaves "no table" — the hint is the existence
+    * predicate — never a hint pointing at partially-deleted data).
+    */
+  def drop(root: String): Unit = {
+    Files.deleteIfExists(Paths.get(metadataDir(root), "version-hint.text"))
+    graft.index.IndexBuilder.deleteRecursively(Paths.get(root))
   }
 
   private def writeDataDir(df: DataFrame, root: String, version: Int): String = {

@@ -87,17 +87,31 @@ final case class IndexReader(
   def dfOf(terms: Seq[String]): Map[String, Long] =
     termMeta(terms).map { case (t, (d, _)) => t -> d }
 
-  // repo-scope key -> broadcast scope probe (see scopeProbe)
-  private[engine] val scopeCache = TrieMap.empty[String, ScopeProbe]
-  // guards probe construction: TrieMap.getOrElseUpdate may evaluate the
-  // thunk on BOTH racing threads (the same hazard IndexReader.open guards
-  // with openLock) — the loser's scope scan would be a duplicate Spark job
-  // and its broadcast would linger un-released until GC, since invalidate()
-  // only releases probes that won the cache slot
-  private val scopeLock = new Object
+  // repo-scope key -> lazily-built broadcast scope probe. A bare
+  // TrieMap.getOrElseUpdate may evaluate the thunk on BOTH racing threads
+  // (the same hazard IndexReader.open guards with openLock) — the loser's
+  // scope scan would be a duplicate Spark job and its broadcast would
+  // linger un-released until GC, since invalidate() only releases probes
+  // that won the cache slot. PER-KEY cells (not one global lock): probe
+  // construction runs a driver-blocking Spark job, and a single monitor
+  // held across it would serialize cold probes for UNRELATED scopes.
+  // getOrElseUpdate may still race two Cell ALLOCATIONS, but a Cell is
+  // side-effect-free until its lazy body is forced, and both racers force
+  // the one cell that won the slot — exactly one scan, one broadcast.
+  private[engine] final class ProbeCell(thunk: () => ScopeProbe) {
+    @volatile private var built = false
+    lazy val probe: ScopeProbe = { val p = thunk(); built = true; p }
+    /** The probe iff some caller already forced it — invalidate() must not
+      * BUILD probes just to release them.
+      */
+    def ifBuilt: Option[ScopeProbe] = if (built) Some(probe) else None
+  }
+  private[engine] val scopeCache = TrieMap.empty[String, ProbeCell]
 
   // term -> its fast-list row, or None (no fast list / absent term)
   private val fastCache = TrieMap.empty[String, Option[FastList]]
+  // serializes COLD batched prefetches only (see prefetchFastLists)
+  private val fastPrefetchLock = new Object
 
   /** The impact-ordered top-k prefix of one term (`fast/` sidecar): parallel
     * arrays in the FINAL total order, v7 including the natural doc keys —
@@ -134,23 +148,34 @@ final case class IndexReader(
   def prefetchFastLists(terms: Seq[String]): Unit = fast match {
     case None => ()
     case Some(f) =>
-      val missing = terms.distinct.filterNot(fastCache.contains)
-      val (knownRare, candidates) = missing.partition(t =>
-        termCache.get(t).exists(_._1 < IndexBuilder.FastMinDf))
-      knownRare.foreach(fastCache.put(_, None))
-      if (candidates.nonEmpty) {
-        import f.sparkSession.implicits._
-        val buckets = candidates.map(TermHash.bucket(_, stats.numBuckets)).distinct
-        val rows = f.filter(col("bucket").isin(buckets: _*))
-          .filter(col("term").isin(candidates: _*))
-          .select("term", "df", "doc_ids", "tfs", "dls", "repos", "paths", "commits")
-          .as[(String, Long, Array[Long], Array[Int], Array[Long], Array[String], Array[String], Array[String])]
-          .collect()
-        rows.foreach { case (t, df, ids, tfs, dls, repos, paths, commits) =>
-          fastCache.put(t, Some(FastList(df, ids, tfs, dls, repos, paths, commits)))
+      // cold-only lock (warm batches return on the contains-check without
+      // touching it): two concurrent cold batches would otherwise both
+      // compute `missing` and both run the probe job — the same
+      // check-then-act hazard the scope-probe cells guard against. One
+      // monitor is fine HERE because all prefetches probe the same shared
+      // sidecar (there is no unrelated-key work to serialize, unlike
+      // scopes), and the loser's re-check inside the lock sees the winner's
+      // cache fills and probes only what is still missing.
+      if (terms.distinct.forall(fastCache.contains)) return
+      fastPrefetchLock.synchronized {
+        val missing = terms.distinct.filterNot(fastCache.contains)
+        val (knownRare, candidates) = missing.partition(t =>
+          termCache.get(t).exists(_._1 < IndexBuilder.FastMinDf))
+        knownRare.foreach(fastCache.put(_, None))
+        if (candidates.nonEmpty) {
+          import f.sparkSession.implicits._
+          val buckets = candidates.map(TermHash.bucket(_, stats.numBuckets)).distinct
+          val rows = f.filter(col("bucket").isin(buckets: _*))
+            .filter(col("term").isin(candidates: _*))
+            .select("term", "df", "doc_ids", "tfs", "dls", "repos", "paths", "commits")
+            .as[(String, Long, Array[Long], Array[Int], Array[Long], Array[String], Array[String], Array[String])]
+            .collect()
+          rows.foreach { case (t, df, ids, tfs, dls, repos, paths, commits) =>
+            fastCache.put(t, Some(FastList(df, ids, tfs, dls, repos, paths, commits)))
+          }
+          val found = rows.iterator.map(_._1).toSet
+          candidates.filterNot(found).foreach(fastCache.put(_, None))
         }
-        val found = rows.iterator.map(_._1).toSet
-        candidates.filterNot(found).foreach(fastCache.put(_, None))
       }
   }
 
@@ -173,26 +198,24 @@ final case class IndexReader(
     */
   def scopeProbe(repos: Seq[String]): ScopeProbe = {
     val key = repos.distinct.sorted.mkString("\u0000")
-    scopeCache.get(key).getOrElse(scopeLock.synchronized {
-      scopeCache.getOrElseUpdate(key, {
-        val spark = docs.sparkSession
-        import spark.implicits._
-        val scoped = docs.filter(col("repo").isin(repos.distinct: _*)).select("doc_id")
-        // regime probe and id fetch in ONE job: collect up to exactMax+1 ids —
-        // overflow (the rare huge-scope regime) is the only case that pays the
-        // extra count() the bloom sizing needs. A separate count()-then-collect
-        // would scan the docs sidecar twice for every common selective scope.
-        val exactMax = math.min(IndexReader.scopeExactMax, (Int.MaxValue - 8).toLong).toInt
-        val ids = scoped.limit(exactMax + 1).as[Long].collect()
-        if (ids.length <= exactMax) {
-          java.util.Arrays.sort(ids)
-          ExactScope(spark.sparkContext.broadcast(ids))
-        } else {
-          BloomScope(spark.sparkContext.broadcast(
-            scoped.stat.bloomFilter("doc_id", scoped.count(), IndexReader.ScopeBloomFpp)))
-        }
-      })
-    })
+    scopeCache.getOrElseUpdate(key, new ProbeCell(() => {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val scoped = docs.filter(col("repo").isin(repos.distinct: _*)).select("doc_id")
+      // regime probe and id fetch in ONE job: collect up to exactMax+1 ids —
+      // overflow (the rare huge-scope regime) is the only case that pays the
+      // extra count() the bloom sizing needs. A separate count()-then-collect
+      // would scan the docs sidecar twice for every common selective scope.
+      val exactMax = math.min(IndexReader.scopeExactMax, (Int.MaxValue - 8).toLong).toInt
+      val ids = scoped.limit(exactMax + 1).as[Long].collect()
+      if (ids.length <= exactMax) {
+        java.util.Arrays.sort(ids)
+        ExactScope(spark.sparkContext.broadcast(ids))
+      } else {
+        BloomScope(spark.sparkContext.broadcast(
+          scoped.stat.bloomFilter("doc_id", scoped.count(), IndexReader.ScopeBloomFpp)))
+      }
+    })).probe
   }
 }
 
@@ -388,8 +411,10 @@ object IndexReader {
         // broadcast re-fetchable from the driver, and clearing the cache
         // below drops the last strong reference so the ContextCleaner
         // finishes destruction once nothing holds the handle.
-        r.scopeCache.values.foreach { probe =>
-          try probe.release() catch { case _: Exception => () }
+        r.scopeCache.values.foreach { cell =>
+          // release only probes someone actually built — forcing an
+          // unevaluated cell here would run its scope scan just to drop it
+          cell.ifBuilt.foreach(p => try p.release() catch { case _: Exception => () })
         }
         r.scopeCache.clear()
       }

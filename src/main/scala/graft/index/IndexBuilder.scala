@@ -306,17 +306,19 @@ object IndexBuilder {
     // (an empty stored link graph, an NPE-ing fast route). If the root
     // records ANY other version — a finished build (stats.json) or an
     // in-flight one (the format marker, written before the first phase
-    // because stats.json only lands at the end) — wipe every derived
-    // artifact and rebuild from the corpus. Same-version interrupted
-    // builds still resume per phase, which is the point of the guards.
+    // because stats.json only lands at the end) — wipe the WHOLE root and
+    // rebuild from the corpus: everything under it (including snapshot
+    // metadata and any compaction/delta layer dirs outside the six base
+    // paths) was produced by the old format, and a partial wipe would leave
+    // the still-published version hint resolving readers to old-format
+    // artifacts until the final publish, plus the old layers leaked on disk.
+    // Same-version interrupted builds still resume per phase, which is the
+    // point of the guards.
     val recordedVersion = readStats(paths).map(_.version).orElse(
       readJsonNumber(Paths.get(formatMarkerPath(paths)), "format").map(_.toInt))
     if (recordedVersion.exists(_ != FormatVersion)) phase("format-wipe") {
       graft.engine.IndexReader.invalidate(paths.root)
-      Seq(paths.docsDir, paths.edgesDir, paths.fastDir, paths.indexDir,
-        paths.segmentsDir, paths.manifestsDir)
-        .foreach(d => deleteRecursively(Paths.get(d)))
-      Files.deleteIfExists(Paths.get(paths.statsPath))
+      deleteRecursively(Paths.get(paths.root))
     }
     writeJson(formatMarkerPath(paths), Seq("format" -> FormatVersion))
 

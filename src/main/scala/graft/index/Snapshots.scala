@@ -25,8 +25,21 @@ final case class Snapshot(
 
 object Snapshots {
 
-  private def jstr(s: String): String =
+  /** JSON string literal — shared with [[graft.corpus.CorpusTable]] so the
+    * two snapshot protocols (index side, corpus-source side) cannot drift.
+    */
+  private[graft] def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Atomic publish: write tmp, ATOMIC_MOVE into place — a reader never
+    * observes a half-written file. Shared protocol primitive.
+    */
+  private[graft] def atomicWrite(path: java.nio.file.Path, body: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def jarr(xs: Seq[String]): String = xs.map(jstr).mkString("[", ", ", "]")
 
@@ -44,16 +57,8 @@ object Snapshots {
          | "stats_paths": ${jarr(snap.statsPaths)},
          | "stats_path": ${jstr(snap.statsPath)},
          | "parent_root": ${snap.parentRoot.map(jstr).getOrElse("null")}}""".stripMargin
-    val meta = dir.resolve(s"v${snap.version}.metadata.json")
-    val tmp = dir.resolve(s"v${snap.version}.metadata.json.tmp")
-    Files.writeString(tmp, body)
-    Files.move(tmp, meta, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val hintTmp = dir.resolve("version-hint.text.tmp")
-    Files.writeString(hintTmp, snap.version.toString)
-    Files.move(hintTmp, dir.resolve("version-hint.text"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    atomicWrite(dir.resolve(s"v${snap.version}.metadata.json"), body)
+    atomicWrite(dir.resolve("version-hint.text"), snap.version.toString)
   }
 
   def currentVersion(root: String): Option[Int] = {
@@ -61,7 +66,11 @@ object Snapshots {
     if (Files.exists(hint)) Some(Files.readString(hint).trim.toInt) else None
   }
 
-  private def readArr(txt: String, key: String): Seq[String] = {
+  /** Escape-aware quoted-string-array extraction (shared with
+    * [[graft.corpus.CorpusTable]] — a naive comma-split would break paths
+    * containing commas or escaped quotes).
+    */
+  private[graft] def readArr(txt: String, key: String): Seq[String] = {
     val m = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
     m.findFirstMatchIn(txt).map(_.group(1)).toSeq
       .flatMap(inner => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(inner).map(_.group(1)))
