@@ -70,6 +70,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lineitem scan reads unused columns:\n$p")
   }
 
+  test("corpus table reads stay declarative: filters pushed, columns pruned") {
+    import org.apache.spark.sql.functions._
+    // a snapshot read is a plain multi-directory parquet scan — predicates
+    // and projections must reach the source exactly as on a bare directory
+    // (the snapshot layer adds metadata resolution, never an opaque plan node)
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-ct").toString
+    graft.corpus.CorpusTable.create(spark,
+      Corpus.corpus(spark, sfDir).limit(100), root)
+    val q = graft.corpus.CorpusTable.read(spark, root)
+      .filter(col("repo") === "repo-1")
+      .select("repo", "path")
+    val p = plan(q)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(repo"),
+      s"repo predicate not pushed through the snapshot read:\n$p")
+    assert(!p.contains("content"), s"pruned read still scans content:\n$p")
+    graft.corpus.CorpusTable.drop(root)
+  }
+
   test("ranking tails use the bounded top-k aggregate, never a query-id window") {
     // a Window.partitionBy(query_id) funnels each query's whole candidate
     // set through one task; the k-heap aggregate reduces map-side first
