@@ -1,0 +1,129 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.tokenize.Tokenizer
+import org.apache.spark.sql.functions._
+
+/** Round-6 one-off attribution runs (guide §1: measure first). Times the
+  * sub-steps of the two dominant bench components (index build phases and
+  * the naive set) through the noop sink so each cost is isolated from its
+  * sink. NOT part of the driver contract; numbers cited in
+  * OPTIMIZATION_r06.md only.
+  */
+object ProfileR06 {
+
+  def t(name: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = Config.sfDir
+    val spark = Config.session()
+    import spark.implicits._
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    spark.sparkContext.setJobDescription("profile: corpus synthesis")
+    t("corpus synth (dedup) noop")(noop(Corpus.corpus(spark, sfDir)))
+    val c = Corpus.withDocId(Corpus.corpus(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("corpus persist+count")(c.count(): Unit)
+
+    t("sha2 only")(noop(c.select(sha2(col("content"), 256).as("s"))))
+    t("dl via size(tokensCol)")(noop(c.select(size(Tokenizer.tokensCol(col("content"))).as("dl"))))
+    t("cust regex only")(noop(c.select(graft.index.LinkIndex.custCol(col("content")).as("cu"))))
+    t("docs-sidecar full projection")(noop(c.select(col("doc_id"), col("repo"), col("path"),
+      col("commit"), col("lang"),
+      size(Tokenizer.tokensCol(col("content"))).cast("long").as("dl"),
+      sha2(col("content"), 256).as("content_sha"),
+      graft.index.LinkIndex.custCol(col("content")).as("cust"))))
+
+    t("termFreqsWithDl (map-side tokenize)")(noop(Tokenizer.termFreqsWithDl(c)))
+    t("termFreqs (explode+groupBy)")(noop(Tokenizer.termFreqs(c)))
+
+    val stats = graft.index.IndexStats(7, 598902L, 29.0, 17000000L, 16, 32)
+    val prev = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+    val tfd = Tokenizer.termFreqsWithDl(c)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)).cast("int"))
+    t("segments agg noop (groupBy salt,term + BuildPostings)")(noop(
+      tfd.groupBy("salt", "term")
+        .agg(graft.index.PostingAggExprs.buildPostings(29.0, col("doc_id"), col("tf"), col("dl")).as("p"))))
+    t("segments agg + repartition(salt,bucket) noop")(noop(
+      tfd.groupBy("salt", "term")
+        .agg(graft.index.PostingAggExprs.buildPostings(29.0, col("doc_id"), col("tf"), col("dl")).as("p"))
+        .select(col("salt"), col("term"),
+          pmod(xxhash64(col("term")), lit(32)).cast("int").as("bucket"),
+          col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"), col("p.block_dir"))
+        .repartition(col("salt"), col("bucket"))))
+
+    // merge attribution against the existing bench index root (if present)
+    val segDir = "target/graft-index/bench-cpus32/segments"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(segDir))) {
+      val segs = spark.read.parquet(segDir)
+      t("segments re-read count")(segs.count(): Unit)
+      t("merge agg noop (groupBy term + MergePostings)")(noop(
+        segs.groupBy("term")
+          .agg(graft.index.PostingAggExprs.mergePostings(29.0, col("postings"), col("dls")).as("p"))))
+    }
+    prev match {
+      case Some(v) => spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+      case None => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    }
+
+    // naive attribution
+    val q = graft.queries.QuerySet.df(spark)
+    t("naive topK full")(noop(graft.engine.NaiveSearch.topK(spark, Corpus.corpus(spark, sfDir), q)))
+    spark.stop()
+  }
+}
+
+/** Second-pass attribution: are the segments/merge phase walls write-bound? */
+object ProfileWriteR06 {
+  import ProfileR06.t
+  def main(args: Array[String]): Unit = {
+    val sfDir = Config.sfDir
+    val spark = Config.session()
+    val tmp = "/tmp/graft-profile-write"
+    graft.index.IndexBuilder.deleteRecursively(java.nio.file.Paths.get(tmp))
+    val c = Corpus.withDocId(Corpus.corpus(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.count()
+    val prev = spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+    val tfd = Tokenizer.termFreqsWithDl(c)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)).cast("int"))
+    val segOut = tfd.groupBy("salt", "term")
+      .agg(graft.index.PostingAggExprs.buildPostings(29.0, col("doc_id"), col("tf"), col("dl")).as("p"))
+      .select(col("salt"), col("term"),
+        pmod(xxhash64(col("term")), lit(32)).cast("int").as("bucket"),
+        col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"), col("p.block_dir"))
+    t("segments WRITE partitionBy(salt,bucket)")(
+      segOut.repartition(col("salt"), col("bucket"))
+        .write.mode("overwrite").partitionBy("salt", "bucket").parquet(s"$tmp/segments"))
+    val segs = spark.read.parquet(s"$tmp/segments")
+    val mergeOut = segs.groupBy("term")
+      .agg(graft.index.PostingAggExprs.mergePostings(29.0, col("postings"), col("dls")).as("p"))
+      .select(col("term"),
+        pmod(xxhash64(col("term")), lit(32)).cast("int").as("bucket"),
+        col("p.df"), col("p.sum_tf"), col("p.postings"), col("p.dls"), col("p.block_max"), col("p.block_dir"))
+    t("merge WRITE partitionBy(bucket)")(
+      mergeOut.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/index"))
+    t("merge agg FULL from tmp segments (noop)")(
+      mergeOut.write.format("noop").mode("overwrite").save())
+    prev match {
+      case Some(v) => spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+      case None => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    }
+    println("[profile] sizes: " + Seq("segments", "index").map { d =>
+      val p = java.nio.file.Paths.get(s"$tmp/$d")
+      var n = 0L
+      java.nio.file.Files.walk(p).forEach(f => if (java.nio.file.Files.isRegularFile(f)) n += java.nio.file.Files.size(f))
+      s"$d=${n / 1024 / 1024}MB"
+    }.mkString(" "))
+    spark.stop()
+  }
+}

@@ -379,7 +379,7 @@ object SparkEntry {
     // pkg/crawl/crawl.go:109-118); binary/empty payloads are gated out
     // before tokenization.
     "corpus_content_gate" -> ((s, dir) => {
-      val nTok = size(Tokenizer.tokensCol(col("content")))
+      val nTok = Tokenizer.tokenCountCol(col("content"))
       Corpus.corpus(s, dir)
         .select(col("lang"),
           (nTok >= 5 && length(col("content")) <= 100000).as("pass"))

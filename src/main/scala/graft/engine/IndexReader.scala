@@ -339,9 +339,9 @@ object IndexReader {
           IndexLayer(i, snap.indexDirs(i), layerStats.avgdl,
             math.max(1.0, stats.avgdl / layerStats.avgdl), idx, seg)
         }
-        val docs = snap.docsDirs
+        val docs = pinDocs(snap.docsDirs
           .map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
-          .reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
+          .reduce(_ unionByName _))
         IndexReader(paths, stats, snap.version, layers, docs,
           cacheTag(paths, stats, snap.version),
           fastFor(spark, Some(snap.indexDirs.last)))
@@ -350,11 +350,25 @@ object IndexReader {
         val stats = IndexBuilder.open(paths)
         val idx = spark.read.parquet(paths.indexDir).persist(StorageLevel.MEMORY_AND_DISK)
         val seg = spark.read.parquet(paths.segmentsDir).persist(StorageLevel.MEMORY_AND_DISK)
-        val docs = spark.read.parquet(paths.docsDir).persist(StorageLevel.MEMORY_AND_DISK)
+        val docs = pinDocs(spark.read.schema(IndexBuilder.DocsSchema).parquet(paths.docsDir))
         IndexReader(paths, stats, 0,
           Seq(IndexLayer(0, paths.indexDir, stats.avgdl, 1.0, idx, seg)),
           docs, cacheTag(paths, stats, 0), fastFor(spark, Some(paths.indexDir)))
     }
+
+  /** Pin the docs sidecar hash-partitioned AND sorted by `doc_id` (guide
+    * §2.4: two operations keyed the same way share one exchange — a cached
+    * partitioning persists across jobs like a bucketed table). The
+    * full-materialization index paths join per-query candidate scores to
+    * this relation on `doc_id`; with a scan-partitioned cache every query
+    * re-exchanged AND re-sorted the corpus-sized side, which was the
+    * dominant fixed cost of [[IndexSearch.topKAt]] (r6 measurement:
+    * ~0.4 s/query at sf0.1×32). The one-time shuffle+sort here is paid at
+    * reader open (the serving steady state the resident reader models).
+    */
+  private def pinDocs(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id")).sortWithinPartitions("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Fast sidecar beside the NEWEST layer's index dir. v7 invariant: every
     * publish path writes (or rebuilds) the sidecar next to the newest index

@@ -35,8 +35,15 @@ object IndexSearch {
       repoScope: Option[Seq[String]] = None): DataFrame = {
     val reader = IndexReader.get(spark, paths)
     val stats = reader.stats
+    // ONE exchange keyed the way the docs join needs it (guide §2.4): the
+    // explicit doc_id repartition satisfies both the score aggregation
+    // (doc_id ⊂ its grouping keys ⇒ clustered) and the subsequent join
+    // against the reader's doc_id-pinned docs cache — the previous shape
+    // exchanged the decoded rows on (query_id, k, doc_id) AND re-exchanged
+    // + re-sorted the corpus-sized docs side on every query.
     val scored = decodedForQueries(spark, reader, queries)
       .join(broadcast(queries.select("query_id", "term", "k")), "term")
+      .repartition(col("doc_id"))
       .groupBy("query_id", "k", "doc_id")
       .agg(sum(BM25.score(col("tf"), col("df"), col("dl"),
         lit(stats.nDocs), lit(stats.avgdl))).as("score"))
@@ -65,6 +72,7 @@ object IndexSearch {
     val stats = reader.stats
     val scored = decodedForQueries(spark, reader, queries)
       .join(broadcast(queries.select("query_id", "term", "k", "n_terms")), "term")
+      .repartition(col("doc_id")) // same one-exchange shape as [[topKAt]]
       .groupBy("query_id", "k", "n_terms", "doc_id")
       .agg(sum(BM25.score(col("tf"), col("df"), col("dl"),
         lit(stats.nDocs), lit(stats.avgdl))).as("score"),

@@ -8,39 +8,65 @@ import org.apache.spark.sql.functions._
 
 /** The naive full-scoring BM25 top-k plan — SURVEY.md §7 Step 1.
   *
-  * This is the engine's correctness oracle: zero custom operators, every
-  * stage a Catalyst built-in, logically identical to the DuckDB SQL in
-  * [[graft.corpus.OracleSql.bm25TopK]]. The index and WAND paths must match
+  * This is the engine's correctness oracle: logically identical to the
+  * DuckDB SQL in [[graft.corpus.OracleSql.bm25TopK]] (rank identity is
+  * pinned by the shared oracle hash). The index and WAND paths must match
   * it rank-for-rank (the north rule's rank-identity criterion).
   *
   * Plan shape (scale notes, 1000-executor reasoning):
-  *  - query set is tiny → `broadcast` both the query terms and the
-  *    query-restricted df table (SURVEY.md J5): no shuffle of the big tf
-  *    relation on `term` at query time;
-  *  - tf and doclen are both keyed by doc_id and doclen derives from tf, so
-  *    the doc_id equi-join reuses the aggregation's hash partitioning;
-  *  - corpus stats (N, avgdl) are a 1-row aggregate, cross-joined broadcast.
+  *  - ONE corpus pass feeds everything: the synthesized corpus is persisted
+  *    once; tf comes from the spec-pinned map-side tokenizer
+  *    ([[Tokenizer.termFreqsWithDl]], TokenizerSpec pins equality with the
+  *    explode+groupBy formulation) so no token-explosion shuffle exists;
+  *  - the query-term set is driver-resident by contract (a query is a
+  *    handful of terms), so the tf relation is filtered to query-term rows
+  *    BEFORE any exchange — df for the query terms aggregates over those
+  *    same rows (guide §2.3: project/filter before the exchange);
+  *  - corpus stats (N, avgdl) come from a single token-count scan of the
+  *    cached corpus (dl = Σ tf per doc ≡ token count; integer-valued
+  *    doubles, so any summation order gives the bit-identical avg);
+  *  - query terms and the query-restricted df table broadcast (SURVEY.md
+  *    J5): no shuffle of the tf relation on `term` at query time.
   */
 object NaiveSearch {
 
   /** Scores every (query, doc) pair for the given query rows
     * `(query_id, term, k)`; returns `(query_id, k, doc_id, score)`.
+    * `corpusWithId` should be cheap to re-scan (callers pass a persisted
+    * frame; [[topK]] persists it).
     */
   def scoreAll(corpusWithId: DataFrame, queries: DataFrame): DataFrame = {
-    // tf feeds four plan branches (scored join, dfq, dl, stats); without a
-    // persist the corpus synthesis + tokenize pipeline executes four times
-    val tf = Tokenizer.termFreqs(corpusWithId)
+    val spark = corpusWithId.sparkSession
+    import spark.implicits._
+    // the query-term list is tiny by contract — resolve it driver-side so
+    // the tokenize output can drop non-query terms map-side (the previous
+    // plan shuffled the full (doc, term) relation four ways; query-term
+    // rows are typically ≪ 1% of it ... except for corpus-wide terms, which
+    // no formulation can shrink)
+    val qTermList = queries.select("term").distinct().as[String].collect().toSeq
+
+    // dl ≡ Σ tf per doc ≡ token count: one cheap scan of the cached corpus
+    // (TokenizerSpec pins tokenCountCol == size(tokensCol) == Σ tf), and
+    // integer-valued doubles make avg() order-independent bit-exactly
+    val dls = corpusWithId
+      .select(Tokenizer.tokenCountCol(col("content")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+
+    // tf rows for the query terms only — tokenize emits (doc_id, term, tf,
+    // dl) map-side, the isin filter drops non-query terms before anything
+    // wide; persisted because both the scoring branch and the df aggregate
+    // consume it (bounded: Σ df over the query's terms)
+    val tfq = Tokenizer.termFreqsWithDl(corpusWithId)
+      .filter(col("term").isin(qTermList: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = Tokenizer.docLens(tf)             // (doc_id, dl)
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     val qTerms = queries.select("query_id", "term", "k")
-    val dfq = dfreq.join(broadcast(qTerms.select("term").distinct()), "term")
+    // exact per-term document frequency over the corpus (for query terms)
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
 
-    tf.join(broadcast(qTerms), "term")
+    tfq.join(broadcast(qTerms), "term")
       .join(broadcast(dfq), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "k", "doc_id")
       .agg(sum(BM25.score(col("tf"), col("df"), col("dl"), col("n"), col("avgdl"))).as("score"))
@@ -51,7 +77,11 @@ object NaiveSearch {
     * the pinned total order shared with DuckDB.
     */
   def topK(spark: SparkSession, corpus: DataFrame, queries: DataFrame): DataFrame = {
+    // ONE persisted synthesis feeds the tf/stats scans and the keys join —
+    // the previous shape persisted the exploded tf relation instead and
+    // re-synthesized the corpus for the natural-key join
     val c = Corpus.withDocId(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = scoreAll(c, queries)
     rankByKeys(scored.join(c.select("doc_id", "repo", "path", "commit"), "doc_id"))
   }

@@ -56,6 +56,15 @@ final class TopKBuf(val ord: Ordering[(Double, InternalRow)]) {
     }
   }
 
+  /** The worst kept score, or -inf below capacity — the no-allocation
+    * reject gate: a row scoring strictly below this can never enter
+    * (+inf for k = 0, where nothing ever enters).
+    */
+  def floorScore: Double =
+    if (k <= 0) Double.PositiveInfinity
+    else if (heap.size < k) Double.NegativeInfinity
+    else heap.head._1
+
   def recap(): Unit = while (heap.size > k) heap.dequeue()
 }
 
@@ -99,9 +108,23 @@ case class TopKByScore(
     val kk = k.eval(input).asInstanceOf[Int]
     if (kk < b.k) { b.k = kk; b.recap() }
     val s = score.eval(input).asInstanceOf[Double]
+    // Reject-by-score fast path: with a full heap, a row scoring strictly
+    // below the worst kept entry can never enter — skip the payload eval +
+    // UnsafeProjection + copy entirely. On a hot-term candidate set (~N
+    // rows funneling into a k=10 heap) this removes one row-sized
+    // allocation per rejected row; ties at the floor still take the full
+    // compare below (the ascending-key tiebreak needs the payload).
+    val floor = b.floorScore
+    if (s < floor) return b
     val p = payload.eval(input).asInstanceOf[InternalRow]
+    val u = proj(p)
+    // Tie at the floor (the common case for ultra-hot terms, whose scores
+    // collapse onto a few quantized grid points): compare keys BEFORE
+    // copying — only a row that actually displaces the worst entry pays the
+    // copy. `floor` finite ⇒ the heap is at capacity and head exists.
+    if (s == floor && !floor.isInfinite && b.ord.compare((s, u), b.heap.head) >= 0) return b
     // copy through an UnsafeProjection: the eval row may alias reused buffers
-    b.offer(s, proj(p).copy())
+    b.offer(s, u.copy())
     b
   }
 

@@ -334,6 +334,80 @@ object Wand {
     def blockUpper(pos: Int): Double = idf * blockMax(pos / Postings.BlockSize)
   }
 
+  /** Primitive bounded min-heap of the top-k scores seen — replaces the
+    * boxed `PriorityQueue[Double]` in the WAND kernels (r6: one boxed
+    * Double allocation per evaluated candidate on a hot-term query was
+    * measurable at ~600k evaluations/query).
+    */
+  private[engine] final class ScoreHeap(k: Int) {
+    private val a = new Array[Double](math.max(k, 1))
+    var size: Int = 0
+    def min: Double = a(0)
+    def threshold: Double = if (size < k) Double.NegativeInfinity else a(0) - Eps
+    def add(v: Double): Unit = {
+      if (size < k) {
+        a(size) = v; size += 1
+        var i = size - 1
+        while (i > 0 && a((i - 1) / 2) > a(i)) {
+          val t = a(i); a(i) = a((i - 1) / 2); a((i - 1) / 2) = t; i = (i - 1) / 2
+        }
+      } else if (v > a(0)) {
+        a(0) = v
+        var i = 0
+        var cont = true
+        while (cont) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < size && a(l) < a(m)) m = l
+          if (r < size && a(r) < a(m)) m = r
+          if (m == i) cont = false
+          else { val t = a(i); a(i) = a(m); a(m) = t; i = m }
+        }
+      }
+    }
+  }
+
+  /** Single-list block-max top-k — the hot-term shape ([[wandShardTopK]]
+    * with one cursor degenerates to exactly this loop, minus its
+    * per-iteration cursor sort/filter allocations): walk the list block by
+    * block, skip a whole block when its bound cannot reach the heap
+    * threshold, otherwise evaluate in place. Identical results to the
+    * generic kernel by construction (same threshold, same Eps tie slack,
+    * same scope handling); WandSpec pins kernel-vs-brute-force identity.
+    */
+  private def singleListTopK(
+      tl: TermList, k: Int, avgdl: Double,
+      counters: WandCounters, inScope: Long => Boolean): Seq[(Long, Double)] = {
+    val b = tl.blocks
+    val heap = new ScoreHeap(k)
+    val evaluated = mutable.ArrayBuffer.empty[(Long, Double)]
+    var pos = 0
+    while (pos < b.count) {
+      val thr = heap.threshold
+      if (tl.blockUpper(pos) < thr) {
+        // the whole current block is bounded under the threshold — hop to
+        // the next block start without decoding (the directory knows it)
+        if (counters != null) counters.skips += 1
+        pos = (pos / Postings.BlockSize + 1) * Postings.BlockSize
+      } else {
+        val end = math.min((pos / Postings.BlockSize + 1) * Postings.BlockSize, b.count)
+        while (pos < end) {
+          val doc = b.id(pos)
+          if (inScope(doc)) {
+            if (counters != null) counters.evaluated += 1
+            val score = tl.idf * Postings.tfNorm(b.tf(pos), b.dl(pos), avgdl)
+            if (score >= heap.threshold || heap.size < k) {
+              evaluated += ((doc, score))
+              heap.add(score)
+            }
+          }
+          pos += 1
+        }
+      }
+    }
+    finishTies(evaluated, heap.threshold)
+  }
+
   /** Classic block-max WAND over block-lazy shard sub-postings.
     * Returns every doc whose exact score ≥ (k-th best − [[Eps]]).
     * `counters` (optional) collects evaluated-doc and BMW-skip counts for
@@ -344,6 +418,7 @@ object Wand {
       counters: WandCounters = null,
       inScope: Long => Boolean = _ => true): Seq[(Long, Double)] = {
     if (lists.isEmpty || k <= 0) return Nil
+    if (lists.size == 1) return singleListTopK(lists.head, k, avgdl, counters, inScope)
     final class Cursor(val tl: TermList) { var pos: Int = 0
       def doc: Long = tl.blocks.id(pos)
       def done: Boolean = pos >= tl.blocks.count
@@ -353,10 +428,10 @@ object Wand {
       def seek(target: Long): Unit = pos = tl.blocks.seek(pos, target)
     }
     val cursors = lists.map(new Cursor(_)).toArray
-    val heap = mutable.PriorityQueue.empty[Double](Ordering[Double].reverse) // min-heap of top scores
+    val heap = new ScoreHeap(k)
     val evaluated = mutable.ArrayBuffer.empty[(Long, Double)]
 
-    def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head - Eps
+    def threshold: Double = heap.threshold
 
     var active = cursors.filterNot(_.done)
     while (active.nonEmpty) {
@@ -394,8 +469,7 @@ object Wand {
             }
             if (score >= threshold || heap.size < k) {
               evaluated += ((pivotDoc, score))
-              heap.enqueue(score)
-              if (heap.size > k) heap.dequeue()
+              heap.add(score)
             }
           }
           // advance every cursor sitting on pivotDoc (scoped-out docs are

@@ -199,6 +199,8 @@ object Incremental {
         LinkIndex.deltaEdges(baseNodes, freshNodes), outPaths.edgesDir)
     }
 
+    // (checked while `fresh` is still persisted — isEmpty is a limit-1 scan)
+    val freshEmpty = fresh.isEmpty
     fresh.unpersist(); tf.unpersist(); delta.unpersist(); out.unpersist()
 
     // v7: rebuild the impact-ordered fast sidecar for the LAYERED root at
@@ -227,17 +229,41 @@ object Incremental {
     // that window degrades to the fast-route-off fallback ([[IndexReader]]
     // fastFor: no _SUCCESS → WAND route — never a stale order), self-healed
     // by the next add/compact.
+    // Replay fast path (r6, VERDICT r5 #8): a replayed batch (J1 anti-join
+    // left nothing fresh) over the SAME base layers with the SAME resulting
+    // stats re-ranks the identical merged view at the identical avgdl — the
+    // existing published sidecar is byte-equivalent, so the decode+TopK
+    // pass is skipped. All three guards must hold: an empty delta alone
+    // does not imply the published sidecar matches (the previous publish
+    // could have been over different layers), and matching stats alone do
+    // not imply an empty delta.
+    val replayNoOp = freshEmpty &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"${outPaths.fastDir}/_SUCCESS")) &&
+      Snapshots.read(outPaths.root).exists { prev =>
+        prev.indexDirs == (baseLayers.indexDirs :+ outPaths.indexDir) &&
+          IndexBuilder.readStatsFile(prev.statsPath).contains(newStats)
+      }
     val fastFinal = java.nio.file.Paths.get(outPaths.fastDir)
     val fastStage = java.nio.file.Paths.get(outPaths.fastDir + ".next")
     IndexBuilder.deleteRecursively(fastStage)
-    IndexBuilder.buildFastSidecar(
-      spark, currentIndex(spark, layeredView),
-      layeredView.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
-        .reduce(_ unionByName _),
-      newStats, fastStage.toString)
-    IndexBuilder.deleteRecursively(fastFinal)
-    java.nio.file.Files.move(fastStage, fastFinal,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (!replayNoOp) {
+      // bound scale for the pruned selection: currentIndex rows may come
+      // from any base layer, whose block maxima were encoded at that
+      // layer's avgdl — the max per-layer `avgdl_new / avgdl_layer` ratio
+      // upper-bounds every row's scale (delta-layer rows are encoded at
+      // newStats.avgdl, scale 1); same soundness argument as the WAND
+      // reader's boundScale
+      val fastBoundScale = (1.0 +: baseLayers.statsPaths.flatMap(p =>
+        IndexBuilder.readStatsFile(p).map(ls => newStats.avgdl / ls.avgdl))).max
+      IndexBuilder.buildFastSidecar(
+        spark, currentIndex(spark, layeredView),
+        layeredView.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
+          .reduce(_ unionByName _),
+        newStats, fastStage.toString, boundScale = fastBoundScale)
+      IndexBuilder.deleteRecursively(fastFinal)
+      java.nio.file.Files.move(fastStage, fastFinal,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     // persist stats + the layered snapshot: the merged table is openable
     // from outPaths alone.

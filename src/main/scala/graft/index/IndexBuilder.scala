@@ -331,7 +331,10 @@ object IndexBuilder {
     // (TokenizerSpec pins split-semantics equality of the two paths).
     val c0 = Corpus.withDocId(corpus)
     val c = if (persistCorpus) c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else c0
-    val dlCol = size(Tokenizer.tokensCol(col("content"))).cast("long")
+    // token COUNT via the single-scan expression — size(tokensCol) built and
+    // discarded a full token array per doc just to count it (~13 s of the
+    // sf0.1 docs-sidecar phase; TokenizerSpec pins count equality)
+    val dlCol = Tokenizer.tokenCountCol(col("content")).cast("long")
 
     // Docs sidecar: natural keys, doc length, the sha256 per-row invariant
     // captured at index time (BASELINE.json input_hint), and the
@@ -539,18 +542,31 @@ object IndexBuilder {
       currentIndex: DataFrame,
       docs: DataFrame,
       stats: IndexStats,
-      fastDir: String): Unit = {
+      fastDir: String,
+      boundScale: Double = 1.0): Unit = {
     import spark.implicits._
     val n = stats.nDocs
     val avgdl = stats.avgdl
     phase("fast-lists") {
+      // Block-max-pruned candidate selection (r6, VERDICT r5 #2): instead of
+      // full-decoding every hot list, emit only the postings whose quantized
+      // score can still make (or tie) the term's top-FastK — blocks visited
+      // in descending blockMax order, pruned with the same idf×blockMax
+      // bound WAND uses ([[Postings.topCandidatesByScore]]; exact, ties
+      // included, no new metadata). The downstream docKeys join + key-asc
+      // tiebreak heap then see candidate-sized input, not Σ df_hot rows.
+      // `boundScale` keeps the bound sound when currentIndex mixes layers
+      // encoded at older (smaller) avgdl (tfNorm grows with avgdl; see
+      // [[Incremental]]'s monotonicity proof).
+      val fastK = FastK
+      val scale = boundScale
       val hot = currentIndex
         .filter(col("df") >= FastMinDf)
-        .select("term", "df", "postings", "dls", "bucket")
-        .as[(String, Long, Array[Byte], Array[Byte], Int)]
-        .flatMap { case (term, df, p, d, bucket) =>
-          val (ids, tfs, dls) = Postings.decode(p, d)
-          Iterator.range(0, ids.length).map(i => (term, df, bucket, ids(i), tfs(i), dls(i)))
+        .select("term", "df", "postings", "dls", "block_max", "block_dir", "bucket")
+        .as[(String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte], Int)]
+        .flatMap { case (term, df, p, d, bm, dir, bucket) =>
+          Postings.topCandidatesByScore(df, p, d, bm.toArray, dir, n, avgdl, fastK, scale)
+            .map { case (id, tf, dl) => (term, df, bucket, id, tf, dl) }
         }
         .toDF("term", "df", "bucket", "doc_id", "tf", "dl")
       val docKeys = docs.select("doc_id", "repo", "path", "commit")

@@ -54,15 +54,12 @@ object PostingAggExprs {
   /** finish → Catalyst InternalRow of [[outputSchema]]. */
   def evalBuf(b: PostingBuf, avgdl: Double): InternalRow = {
     val n = b.size
-    val idx = Array.range(0, n).sortBy(b.docIds(_))
-    val docIds = new Array[Long](n)
-    val tfs = new Array[Int](n)
-    val dls = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      docIds(i) = b.docIds(idx(i)); tfs(i) = b.tfs(idx(i)); dls(i) = b.dls(idx(i))
-      i += 1
-    }
+    val docIds = java.util.Arrays.copyOf(b.docIds, n)
+    val tfs = java.util.Arrays.copyOf(b.tfs, n)
+    val dls = java.util.Arrays.copyOf(b.dls, n)
+    // primitive in-place sort (r6) — the previous boxed index sortBy paid a
+    // boxed comparator call per comparison on every posting of every group
+    PostingBuf.sortByDocId(docIds, tfs, dls, n)
     val e = Postings.encode("", docIds, tfs, dls, avgdl)
     new GenericInternalRow(Array[Any](e.df, e.sumTf, e.postings, e.dls, new GenericArrayData(e.blockMax), e.blockDir))
   }

@@ -88,6 +88,95 @@ object Postings {
   def iterAll(b: PostingsBlocks): Iterator[(Long, Int, Long)] =
     Iterator.range(0, b.count).map(i => (b.id(i), b.tf(i), b.dl(i)))
 
+  /** EXACT top-k-by-score candidate set of one encoded posting list: every
+    * posting whose QUANTIZED score (`BM25.quantize(idf × tfNorm)` at the
+    * given n/avgdl) is ≥ the k-th best quantized score — i.e. the final
+    * top-k PLUS all boundary ties, so a downstream (score desc, key asc)
+    * selection over the emitted rows equals the same selection over the
+    * full list. Used by the fast-sidecar build (VERDICT r5 "what's wrong
+    * #2"): blocks are visited in descending block-max order and pruned with
+    * the same `idf × blockMax` bound WAND uses — a block whose quantized
+    * bound cannot reach the current k-th best is skipped WITHOUT decoding
+    * (pass 1) / emitting (pass 2). No new metadata, exact result.
+    *
+    * `boundScale ≥ 1` widens the bound for lists whose block maxima were
+    * encoded at an older (smaller) avgdl — the layered-root soundness factor
+    * `max(1, avgdl_now / avgdl_layer)` (see [[Incremental]]); scoring itself
+    * always uses the CURRENT avgdl.
+    *
+    * Caveat (documented, measured): an ultra-hot term's idf is below the
+    * 1e-6 quantization grid, so its whole list ties on a few grid points
+    * and nothing can be pruned by score — those terms still emit ~df rows
+    * (their ties are genuinely needed for the key-order tiebreak). The win
+    * is on the moderately-hot range, where the grid resolves scores.
+    */
+  def topCandidatesByScore(
+      count: Long, postings: Array[Byte], dls: Array[Byte], blockMax: Array[Double],
+      blockDir: Array[Byte], n: Long, avgdl: Double, k: Int,
+      boundScale: Double = 1.0): Iterator[(Long, Int, Long)] = {
+    val b = PostingsBlocks.fromEncoded(count, postings, dls, blockDir)
+    val idfV = idf(count, n)
+    val nb = b.nBlocks
+    if (nb == 0 || k <= 0) return Iterator.empty
+    val order = Array.range(0, nb).sortBy(i => -blockMax(i))
+    // pass 1: the k-th best quantized score via a primitive min-heap
+    val heap = new Array[Double](k)
+    var hs = 0
+    def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && heap((i - 1) / 2) > heap(i)) {
+        val t = heap(i); heap(i) = heap((i - 1) / 2); heap((i - 1) / 2) = t
+        i = (i - 1) / 2
+      }
+    }
+    def siftDown(): Unit = {
+      var i = 0
+      var cont = true
+      while (cont) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < hs && heap(l) < heap(m)) m = l
+        if (r < hs && heap(r) < heap(m)) m = r
+        if (m == i) cont = false
+        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+      }
+    }
+    var oi = 0
+    var pruned = false
+    while (oi < nb && !pruned) {
+      val blk = order(oi)
+      // full heap + block bound ≤ current k-th best ⇒ nothing in this block
+      // (or any later one in descending-bound order) can RAISE the k-th
+      // best; ties don't raise it either, so <= is safe for pass 1
+      if (hs >= k && graft.score.BM25.quantize(idfV * blockMax(blk) * boundScale) <= heap(0))
+        pruned = true
+      else {
+        var pos = blk * BlockSize
+        val end = math.min(pos + BlockSize, b.count)
+        while (pos < end) {
+          val s = graft.score.BM25.quantize(idfV * tfNorm(b.tf(pos), b.dl(pos), avgdl))
+          if (hs < k) { heap(hs) = s; hs += 1; siftUp(hs - 1) }
+          else if (s > heap(0)) { heap(0) = s; siftDown() }
+          pos += 1
+        }
+      }
+      oi += 1
+    }
+    val sk = if (hs >= k) heap(0) else Double.NegativeInfinity
+    // pass 2: emit every posting with quantized score ≥ sk; blocks whose
+    // quantized bound is < sk cannot contain one (quantize is monotone)
+    Iterator.range(0, nb).flatMap { blk =>
+      if (graft.score.BM25.quantize(idfV * blockMax(blk) * boundScale) < sk) Iterator.empty
+      else {
+        val start = blk * BlockSize
+        val end = math.min(start + BlockSize, b.count)
+        Iterator.range(start, end).filter { pos =>
+          graft.score.BM25.quantize(idfV * tfNorm(b.tf(pos), b.dl(pos), avgdl)) >= sk
+        }.map(pos => (b.id(pos), b.tf(pos), b.dl(pos)))
+      }
+    }
+  }
+
   /** Scalar BM25 tf normalization — MUST mirror [[BM25.tfNorm]]'s Column
     * expression tree op-for-op so index-path scores are bit-identical to the
     * naive Catalyst plan.

@@ -2,6 +2,7 @@ package graft.tokenize
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The tokenizer — the engine analog of the reference's per-document link
   * extraction `FetchChildPages` (`pkg/page/page.go:64-90`): document in,
@@ -28,6 +29,40 @@ object Tokenizer {
   def tokensCol(content: Column): Column =
     filter(split(lower(content), SplitRegex), t => t =!= "")
 
+  /** Token COUNT column — `size(tokensCol(content))` as a single scan with
+    * no array materialization ([[TokenCount]]): the regex split + filter +
+    * size formulation was ~13 s of the sf0.1 build's docs-sidecar phase for
+    * a value that is just "number of maximal [a-z0-9_] runs in
+    * lower(content)". [[TokenizerSpec]] pins equality of the two columns.
+    */
+  def tokenCountCol(content: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      TokenCount(org.apache.spark.sql.GraftColumnBridge.expression(content)))
+
+  /** Count of maximal [a-z0-9_] runs in the LOWERED string — exactly
+    * `split(lower(s), SplitRegex).count(_.nonEmpty)`: splitting on maximal
+    * separator runs partitions the string, and the non-empty pieces are
+    * precisely the maximal token-char runs. Lowering first matters even for
+    * counting (a non-ASCII char can lower INTO the token class, e.g.
+    * U+212A → 'k', joining two runs), so this scans `UTF8String.toLowerCase`
+    * — the same lowering `lower()` applies — byte-wise: token bytes are
+    * ASCII, UTF-8 continuation/lead bytes are ≥ 0x80 and never token chars.
+    */
+  def countTokens(lowered: UTF8String): Int = {
+    val bytes = lowered.getBytes
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val tok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == '_'
+      if (tok && !inTok) n += 1
+      inTok = tok
+      i += 1
+    }
+    n
+  }
+
   /** Explode a corpus (must carry `doc_id`, `content`) to term frequencies:
     * `(doc_id, term, tf)` — operator E1+A1 of SURVEY.md §2. Pure built-ins;
     * this is the oracle-shaped formulation (used by the naive plan and the
@@ -49,27 +84,42 @@ object Tokenizer {
     * term) formulation above shuffles 10-100× more rows than it needs to —
     * at sf0.1×4 that is a 200 M-row exchange for a 50 M-row result. The
     * engine build path uses this; [[TokenizerSpec]] pins equality of the
-    * two formulations, and the same JVM regex semantics apply (Spark's
-    * `split` is java.util.regex, as is `Pattern.split` here; trailing empty
-    * strings are filtered on both paths).
+    * two formulations. Tokens come from a direct scan for maximal
+    * [a-z0-9_] runs of the lowered string — the same pieces
+    * `Pattern.split(SplitRegex)` produces with empties dropped, without the
+    * regex engine (r6: the regex split was ~60% of this path's CPU).
     */
   def termFreqsWithDl(corpusWithId: DataFrame): DataFrame = {
     val spark = corpusWithId.sparkSession
     import spark.implicits._
-    val re = java.util.regex.Pattern.compile(SplitRegex)
     corpusWithId
       .select(col("doc_id"), col("content"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (docId, content) =>
+          // maximal [a-z0-9_] runs of the lowered string — identical pieces
+          // to Pattern.split(SplitRegex) with empties dropped (splitting on
+          // maximal separator runs partitions the string; the non-empty
+          // pieces ARE the token runs), without the regex engine or the
+          // token-array materialization. Same Java toLowerCase as before.
+          val s = content.toLowerCase
           val counts = new java.util.HashMap[String, Int]()
           var dl = 0L
-          val toks = re.split(content.toLowerCase, -1)
           var i = 0
-          while (i < toks.length) {
-            val t = toks(i)
-            if (t.nonEmpty) { counts.merge(t, 1, (a, b) => a + b); dl += 1 }
-            i += 1
+          val n = s.length
+          while (i < n) {
+            val c = s.charAt(i)
+            if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
+              var j = i + 1
+              var cj = ' '
+              while (j < n && {
+                cj = s.charAt(j)
+                (cj >= 'a' && cj <= 'z') || (cj >= '0' && cj <= '9') || cj == '_'
+              }) j += 1
+              counts.merge(s.substring(i, j), 1, (a, b) => a + b)
+              dl += 1
+              i = j
+            } else i += 1
           }
           val d = dl
           scala.jdk.CollectionConverters.IteratorHasAsScala(counts.entrySet().iterator()).asScala
@@ -78,4 +128,33 @@ object Tokenizer {
       }
       .toDF("doc_id", "term", "tf", "dl")
   }
+}
+
+/** Scalar expression: number of tokens of a string column — a single
+  * lower-then-scan pass ([[Tokenizer.countTokens]]) equal by construction
+  * to `size(filter(split(lower(s), SplitRegex), t => t =!= ""))` but with
+  * no regex engine, no token array, and no per-token UTF8String
+  * allocations. CodegenFallback like [[graft.ops.WinnowFingerprints]]: the
+  * per-row cost is the character loop, not the dispatch.
+  */
+final case class TokenCount(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Tokenizer.countTokens(input.asInstanceOf[UTF8String].toLowerCase)
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): TokenCount =
+    copy(child = newChild)
 }

@@ -64,3 +64,41 @@ class TokenizerParitySpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.stop()
   }
 }
+
+/** r6: the single-scan token-count expression must equal the regex
+  * formulation exactly — on the synthesized corpus AND on adversarial
+  * strings (empty, separators-only, runs at both ends, non-ASCII chars
+  * that LOWER into the token class, e.g. Kelvin sign U+212A → 'k').
+  */
+class TokenCountParitySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("countTokens(scalar) == regex split count on adversarial strings") {
+    val cases = Seq(
+      "", "   \t\n ", "abc", "..a..b..", "a+b=c", "__", "x9 digits2keep",
+      "MixedCASE", "ünïcödé sep", "aKb", "K", "aİb",
+      "end_with_token", ".start", "many   spaces nbsp")
+    cases.foreach { s =>
+      val lowered = s.toLowerCase
+      val want = lowered.split(graft.tokenize.Tokenizer.SplitRegex).count(_.nonEmpty)
+      val got = graft.tokenize.Tokenizer.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase)
+      assert(got == want, s"countTokens mismatch on '$s': got $got want $want")
+    }
+  }
+
+  test("tokenCountCol == size(tokensCol) on sf0.001 corpus") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import org.apache.spark.sql.functions._
+      val c = graft.corpus.Corpus.corpus(spark, "/root/testdata/sf0.001")
+      val diff = c.select(
+        graft.tokenize.Tokenizer.tokenCountCol(col("content")).as("fast"),
+        size(graft.tokenize.Tokenizer.tokensCol(col("content"))).as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(diff == 0L, s"$diff corpus rows disagree between tokenCountCol and size(tokensCol)")
+    } finally spark.stop()
+  }
+}
