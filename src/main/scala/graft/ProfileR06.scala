@@ -127,3 +127,57 @@ object ProfileWriteR06 {
     spark.stop()
   }
 }
+
+/** Graph BFS attribution (r6): where do graph_reach_bfs' 65 s at sf0.01 go? */
+object ProfileGraphR06 {
+  import ProfileR06.t
+  def main(args: Array[String]): Unit = {
+    val sfDir = Config.sfDir
+    val spark = Config.session()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val corpus = Corpus.corpus(spark, sfDir)
+    t("docNodes noop")(noop(graft.ops.Graph.docNodes(corpus)))
+    t("linkEdges noop")(noop(graft.ops.Graph.linkEdges(corpus)))
+    t("reachBfs FULL")(noop(graft.ops.Graph.reachBfs(spark, corpus)))
+    t("reachBfs FULL again")(noop(graft.ops.Graph.reachBfs(spark, corpus)))
+    spark.stop()
+  }
+}
+
+/** Per-hop attribution of the BFS machinery (r6). */
+object ProfileGraph2R06 {
+  import ProfileR06.t
+  def main(args: Array[String]): Unit = {
+    val sfDir = Config.sfDir
+    val spark = Config.session()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = Corpus.corpus(spark, sfDir)
+    val nodes = graft.ops.Graph.docNodes(corpus).persist(lvl)
+    t("nodes count")(nodes.count(): Unit)
+    val edges0 = graft.index.LinkIndex.edgesOf(nodes)
+    val edges = edges0.repartition(col("src_id")).sortWithinPartitions("src_id").persist(lvl)
+    t("edges count")(edges.count(): Unit)
+    val canon = graft.ops.Graph.canonicalProviders(nodes)
+    val roots = canon.filter(col("cust") === 0 && col("repo").isin(graft.ops.Graph.RootRepos: _*))
+      .select(col("canon_id").as("root_id"), col("canon_id").as("doc_id"))
+    var visited = roots.select(col("root_id"), col("doc_id")).distinct()
+      .withColumn("depth", lit(0)).persist(lvl)
+    t("roots count")(visited.count(): Unit)
+    var frontier: org.apache.spark.sql.DataFrame = visited
+    for (d <- 1 to 3) {
+      val next = frontier.select(col("root_id"), col("doc_id").as("src_id"))
+        .join(edges, "src_id")
+        .select(col("root_id"), col("dst_id").as("doc_id"))
+        .distinct()
+        .join(visited.select("root_id", "doc_id"), Seq("root_id", "doc_id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .persist(lvl)
+      t(s"hop $d count")(next.count(): Unit)
+      visited = visited.unionByName(next).persist(lvl)
+      t(s"hop $d visited count")(visited.count(): Unit)
+      frontier = next
+    }
+    spark.stop()
+  }
+}

@@ -160,8 +160,22 @@ object Ann {
   def microCol(e: Column): Column =
     transform(e, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
 
-  /** Cosine over micro-int arrays (cast to double per element — exact). */
-  def cosineM(a: Column, b: Column): Column = cosine(a, b)
+  /** Cosine over micro-int arrays. r6: a native long-array dot
+    * ([[DotLongArrays]]) replaces the interpreted zip_with+aggregate fold —
+    * micro components are ≤ ~2^21, so every product is ≤ ~2^42 and a
+    * 64-term sum stays ≪ 2^53: the sum is EXACT in both a long and a
+    * left-to-right double fold, hence bit-identical to the previous
+    * formulation AND to the oracle's `list_sum(list_transform(...))`
+    * (the float-path [[cosine]] keeps the sequential fold — there the
+    * summation order IS the contract).
+    */
+  def cosineM(a: Column, b: Column): Column = {
+    def d(x: Column, y: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(DotLongArrays(
+        org.apache.spark.sql.GraftColumnBridge.expression(x),
+        org.apache.spark.sql.GraftColumnBridge.expression(y)))
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
 
   /** Nearest-centroid assignment over micro vectors: argmax cosine, ties to
     * the smaller centroid id — `max_by` over a (cos, −id) ordering struct,
@@ -186,10 +200,12 @@ object Ann {
     * aggregate; the mean is a (centroid, pos) sum/count groupBy — 512
     * groups with partial aggregation, no skew risk, no windows.
     */
-  def kmeansCentroids(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
+  def kmeansCentroids(emb: DataFrame): DataFrame =
+    kmeansCentroidsOf(emb.select(col("vec_id"), microCol(col("embedding")).as("m")))
+
+  private def kmeansCentroidsOf(m: DataFrame): DataFrame = {
+    val spark = m.sparkSession
     import spark.implicits._
-    val m = emb.select(col("vec_id"), microCol(col("embedding")).as("m"))
     // Materialize each iteration's centroids to the driver (k × Dim longs —
     // tiny by construction) and feed the next step a LITERAL relation:
     // without this, iteration i's lineage references iteration i−1 TWICE
@@ -222,8 +238,12 @@ object Ann {
     * against the brute-force baseline.
     */
   def ivfTopK(emb: DataFrame): DataFrame = {
+    // one persisted micro view serves training (2 collect iterations), the
+    // final assignment, and the query probes — previously each action
+    // re-read the parquet and re-quantized
     val m = emb.select(col("vec_id"), microCol(col("embedding")).as("m"))
-    val cents = kmeansCentroids(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCentroidsOf(m)
     val assigned = assignM(m, cents)
     val q = m.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("m").as("qm"))
@@ -240,4 +260,48 @@ object Ann {
       .select(col("query_id"), col("vec_id"), BM25.quantize(cos).as("cos_r"))
     rankTopK(scored)
   }
+}
+
+/** Native dot product of two `array<bigint>` columns as a double — exact
+  * for micro-quantized inputs (see [[Ann.cosineM]]): products ≤ ~2^42 and
+  * sums ≪ 2^53, so the long accumulator equals any double fold bit-for-bit.
+  * CodegenFallback like the other scalar loops here: per-row cost is the
+  * element loop, not dispatch.
+  */
+final case class DotLongArrays(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> columns, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_long_arrays"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): DotLongArrays =
+    copy(left = newLeft, right = newRight)
 }

@@ -98,7 +98,11 @@ object Dedup {
     * copies. Verified pairs themselves are exact (no false positives).
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val ex = shingles(docs)
+    // the exploded shingle relation feeds five plan branches (df filter,
+    // both candidate sides, both verification sides + sizes) — without a
+    // persist each branch re-tokenizes and re-explodes the corpus (r6:
+    // ~5× of this entry's wall at sf0.01)
+    val ex = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ex.join(
       ex.groupBy("shingle").agg(count(lit(1)).as("sdf"))
         .filter(col("sdf") <= MaxShingleDf).select("shingle"),
@@ -120,8 +124,10 @@ object Dedup {
     * differences and partial overlaps ≥ k + w − 1 chars.
     */
   def winnowPairs(docs: DataFrame): DataFrame = {
+    // persisted for the same five-consumer reason as [[ngramJaccardPairs]]
     val ex = docs.select(col("doc_id"),
       explode(TextOps.winnowFingerprints(col("text"))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ex.join(
       ex.groupBy("shingle").agg(count(lit(1)).as("sdf"))
         .filter(col("sdf") <= MaxShingleDf).select("shingle"),
@@ -138,8 +144,10 @@ object Dedup {
     * functions": min over sha256(k + ":" + shingle) hex strings — a
     * lexicographic min of hex IS a numeric min of the 256-bit hash).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val ex = shingles(docs)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesOf(shingles(docs))
+
+  private def minhashSignaturesOf(ex: DataFrame): DataFrame = {
     val aggs = (0 until MinhashK).map(k =>
       min(sha2(concat(lit(s"$k:"), col("shingle")), 256)).as(s"mh$k"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -151,7 +159,10 @@ object Dedup {
     * banding, so results match deterministically.
     */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // ONE persisted shingle relation feeds the signature aggregation AND
+    // the verification tail (previously two independent re-derivations)
+    val ex = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesOf(ex)
     val nBands = MinhashK / MinhashBandRows
     val bands = sig.select(col("doc_id"), explode(array((0 until nBands).map { bIdx =>
       struct(lit(bIdx).as("band"),
@@ -165,7 +176,7 @@ object Dedup {
       .distinct()
     // verify ONLY the candidate pairs with the exact full-set Jaccard —
     // never the corpus-wide shingle self-join LSH exists to avoid
-    jaccardOnCandidates(shingles(docs), candidates)
+    jaccardOnCandidates(ex, candidates)
       .orderBy("ida", "idb")
   }
 

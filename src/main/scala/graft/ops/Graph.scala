@@ -178,8 +178,22 @@ object Graph {
     val revEdges = edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
       .repartition(col("src_id")).sortWithinPartitions("src_id").persist(lvl)
 
-    val fwdReach = reach(fwdEdges, roots, maxDepth)
-    val revReach = reach(revEdges, roots, maxDepth)
+    // The two directions are independent job chains of many SMALL actions
+    // (per-hop count + persist on frontier-sized data), so their wall cost
+    // is action-latency-bound, not data-bound — overlap them (guide §2.6:
+    // concurrent independent jobs back-fill each other's stragglers; FIFO
+    // scheduling keeps both progressing). `roots` is persisted first so the
+    // racing level-0 materializations don't duplicate its derivation.
+    val rootsP = roots.persist(lvl)
+    rootsP.count()
+    val (fwdReach, revReach) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f = Future(reach(fwdEdges, rootsP, maxDepth))
+      val r = Future(reach(revEdges, rootsP, maxDepth))
+      (Await.result(f, Duration.Inf), Await.result(r, Duration.Inf))
+    }
     val fwd = fwdReach.withColumn("direction", lit("out"))
     val rev = revReach.withColumn("direction", lit("in"))
 
@@ -195,7 +209,7 @@ object Graph {
     // release every intermediate persist — only `out` (materialized above)
     // stays resident; a long-lived session must not accumulate BFS levels
     fwdReach.unpersist(); revReach.unpersist()
-    fwdEdges.unpersist(); revEdges.unpersist()
+    fwdEdges.unpersist(); revEdges.unpersist(); rootsP.unpersist()
     out
   }
 }
