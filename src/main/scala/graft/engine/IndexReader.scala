@@ -367,8 +367,30 @@ object IndexReader {
     * reader open (the serving steady state the resident reader models).
     */
   private def pinDocs(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id")).sortWithinPartitions("doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    persistPartitioned(docs.repartition(col("doc_id")).sortWithinPartitions("doc_id"))
+
+  /** Persist with the partitioning/ordering STATICALLY visible to consumers.
+    * Under AQE (Spark 4 default) a cached query compiles as an
+    * `AdaptiveSparkPlan` whose output partitioning consumers cannot trust,
+    * so every downstream join re-exchanges AND re-sorts the cached side —
+    * exactly the per-query cost the pin exists to remove. The cached plan is
+    * captured at `persist()` time, so AQE is toggled off around just that
+    * call: the CACHE BUILD of a reader-pinned relation is a single
+    * deliberate exchange+sort that needs no adaptivity, while every query
+    * over it still runs with AQE on. (Verified against
+    * `plans/r06/bm25_index_topk_after.txt`: the docs side of the keys join
+    * is a bare InMemoryTableScan, no Exchange, no Sort.)
+    */
+  private[graft] def persistPartitioned(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.persist(StorageLevel.MEMORY_AND_DISK)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 
   /** Fast sidecar beside the NEWEST layer's index dir. v7 invariant: every
     * publish path writes (or rebuilds) the sidecar next to the newest index

@@ -173,10 +173,14 @@ object Graph {
     // equivalent of the reference's materialized `@reverse` index
     // (dgraph.go:45) — instead of column-flipping one artifact per hop.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val fwdEdges = edges
-      .repartition(col("src_id")).sortWithinPartitions("src_id").persist(lvl)
-    val revEdges = edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
-      .repartition(col("src_id")).sortWithinPartitions("src_id").persist(lvl)
+    // persistPartitioned: cached partitioning must be STATICALLY visible or
+    // every hop join re-exchanges the cached side anyway (see the helper's
+    // doc in [[graft.engine.IndexReader]])
+    val fwdEdges = graft.engine.IndexReader.persistPartitioned(
+      edges.repartition(col("src_id")).sortWithinPartitions("src_id"))
+    val revEdges = graft.engine.IndexReader.persistPartitioned(
+      edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
+        .repartition(col("src_id")).sortWithinPartitions("src_id"))
 
     // The two directions are independent job chains of many SMALL actions
     // (per-hop count + persist on frontier-sized data), so their wall cost
