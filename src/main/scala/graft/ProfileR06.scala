@@ -181,3 +181,45 @@ object ProfileGraph2R06 {
     spark.stop()
   }
 }
+
+/** Full reachBoth step attribution (r6). */
+object ProfileGraph3R06 {
+  import ProfileR06.t
+  def main(args: Array[String]): Unit = {
+    val sfDir = Config.sfDir
+    val spark = Config.session()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = Corpus.corpus(spark, sfDir)
+    val nodes = graft.ops.Graph.docNodes(corpus).persist(lvl)
+    t("nodes persist+count")(nodes.count(): Unit)
+    val edges = graft.index.LinkIndex.edgesOf(nodes).persist(lvl)
+    t("edges persist+count")(edges.count(): Unit)
+    val fwdEdges = graft.engine.IndexReader.persistPartitioned(
+      edges.repartition(col("src_id")).sortWithinPartitions("src_id"))
+    val revEdges = graft.engine.IndexReader.persistPartitioned(
+      edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
+        .repartition(col("src_id")).sortWithinPartitions("src_id"))
+    t("fwd/rev edges materialize")({ fwdEdges.count(); revEdges.count() }: Unit)
+    val canon = graft.ops.Graph.canonicalProviders(nodes)
+    val roots = canon.filter(col("cust") === 0 && col("repo").isin(graft.ops.Graph.RootRepos: _*))
+      .select(col("canon_id").as("root_id"), col("canon_id").as("doc_id")).persist(lvl)
+    t("roots persist+count")(roots.count(): Unit)
+    var fwd: org.apache.spark.sql.DataFrame = null
+    var rev: org.apache.spark.sql.DataFrame = null
+    t("fwd reach")({ fwd = graft.ops.Graph.reach(fwdEdges, roots, 3) })
+    t("rev reach")({ rev = graft.ops.Graph.reach(revEdges, roots, 3) })
+    val rootKeys = nodes.select(col("doc_id").as("root_id"),
+      col("repo").as("root_repo"), col("path").as("root_path"))
+    val nodeKeys = nodes.select(col("doc_id"), col("path"))
+    val out = fwd.withColumn("direction", lit("out"))
+      .unionByName(rev.withColumn("direction", lit("in")))
+      .join(rootKeys, "root_id")
+      .join(nodeKeys, "doc_id")
+      .select(col("direction"), col("root_repo"), col("root_path"), col("path"), col("depth"))
+      .orderBy("direction", "root_repo", "root_path", "path")
+    t("final join+orderBy+count")(out.persist(lvl).count(): Unit)
+    t("reachBfs FULL (current impl)")(
+      graft.ops.Graph.reachBfs(spark, corpus).write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

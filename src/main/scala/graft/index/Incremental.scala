@@ -102,6 +102,76 @@ object Incremental {
     val newStats = IndexStats(IndexBuilder.FormatVersion, sRow.getLong(0), sRow.getDouble(1),
       sRow.getLong(2), baseStats.numSalts, baseStats.numBuckets)
 
+    // Replay no-op detection (r6, VERDICT r5 #8): an addBatch is a pure
+    // replay iff the published snapshot at the out root already records this
+    // exact (base layers, resulting stats, fresh-set fingerprint) triple and
+    // every delta artifact is published — then every phase below rewrites
+    // byte-equivalent content (all derivations are deterministic in the
+    // fresh set + base), so the whole rewrite is skipped and only the
+    // snapshot/stats publish runs (same end state, version bumped exactly as
+    // before). The fingerprint is order-independent (count + XOR of a
+    // full-row hash) and stored in the stats build_args at publish time;
+    // stats alone are NOT sufficient (two different batches could collide on
+    // (nDocs, avgdl, totalTokens)). `index_incremental`'s replay=true entry
+    // — the J1 idempotency exercise Verify pays every run — goes from a full
+    // delta rewrite to anti-join + stats + fingerprint.
+    val fpRow = fresh
+      .select(xxhash64(concat_ws("",
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"))).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    val freshFp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)}"
+    val publishArgs = s"incremental over ${basePaths.root} fp=$freshFp"
+    val replayNoOp = Snapshots.read(outPaths.root).exists { prev =>
+      prev.indexDirs == (baseLayers.indexDirs :+ outPaths.indexDir) &&
+        prev.docsDirs == (baseLayers.docsDirs :+ outPaths.docsDir) &&
+        prev.segmentsDirs == (baseLayers.segmentsDirs :+ outPaths.segmentsDir) &&
+        IndexBuilder.readStatsFile(prev.statsPath).contains(newStats) &&
+        IndexBuilder.readJsonString(
+          java.nio.file.Paths.get(prev.statsPath), "build_args").contains(publishArgs)
+    } && Seq(outPaths.indexDir, outPaths.segmentsDir, outPaths.docsDir,
+      outPaths.edgesDir, outPaths.fastDir)
+      .forall(d => java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_SUCCESS")))
+    if (replayNoOp) {
+      System.err.println(s"[add] replay no-op: ${outPaths.root} already carries this batch ($publishArgs)")
+      fresh.unpersist(); tf.unpersist()
+    } else
+    addBatchRewrite(spark, baseLayers, basePaths, outPaths, fresh, tf, newStats)
+
+    // persist stats + the layered snapshot: the merged table is openable
+    // from outPaths alone.
+    IndexBuilder.writeStatsJson(outPaths.statsPath, newStats, publishArgs)
+    // version = strictly AFTER both the base chain and anything already
+    // published at the out root: republishing (e.g. replaying an add onto a
+    // root that was since compacted) must never move the hint BACKWARDS to
+    // an older view
+    val outVersion = math.max(baseLayers.version,
+      Snapshots.currentVersion(outPaths.root).getOrElse(0)) + 1
+    Snapshots.write(outPaths.root, Snapshot(
+      outVersion,
+      baseLayers.indexDirs :+ outPaths.indexDir,
+      baseLayers.docsDirs :+ outPaths.docsDir,
+      baseLayers.segmentsDirs :+ outPaths.segmentsDir,
+      baseLayers.statsPaths :+ outPaths.statsPath,
+      outPaths.statsPath,
+      Some(basePaths.root)))
+    // a new snapshot invalidates any resident reader on this root
+    graft.engine.IndexReader.invalidate(outPaths.root)
+    newStats
+  }
+
+  /** The rewrite half of [[addBatch]] — delta postings, salted delta
+    * segments, docs/edges delta layers, and the fast-sidecar re-rank.
+    * Skipped entirely on a detected replay no-op.
+    */
+  private def addBatchRewrite(
+      spark: SparkSession,
+      baseLayers: Snapshot,
+      basePaths: IndexPaths,
+      outPaths: IndexPaths,
+      fresh: DataFrame,
+      tf: DataFrame,
+      newStats: IndexStats): Unit = {
+    def phase[A](name: String)(f: => A): A = IndexBuilder.phase(name, tag = "add")(f)
     // delta postings per term (small batch → single-level aggregation)
     val delta = tf
       .groupBy("term")
@@ -179,6 +249,7 @@ object Incremental {
     // analog page.go:83) — deterministic per (base, out) pair, so a
     // replayed batch reproduces the identical sidecar.
     val batchId = s"add:${basePaths.root}->${outPaths.root}"
+    val dl = tf.select(col("doc_id"), col("dl")).distinct()
     phase("docs-write")(fresh.join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
         coalesce(col("dl"), lit(0L)).as("dl"), sha2(col("content"), 256).as("content_sha"),
@@ -192,15 +263,15 @@ object Incremental {
     // postings' newest-wins per term. A batch that adds nothing writes a
     // valid EMPTY layer (schema-pinned read).
     phase("edges-write") {
-      val baseNodes = LinkIndex.nodesOf(baseDocs)
+      val baseNodes = LinkIndex.nodesOf(baseLayers.docsDirs
+        .map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
+        .reduce(_ unionByName _))
       val freshNodes = LinkIndex.nodesOf(
         spark.read.schema(IndexBuilder.DocsSchema).parquet(outPaths.docsDir))
       LinkIndex.writeEdges(spark,
         LinkIndex.deltaEdges(baseNodes, freshNodes), outPaths.edgesDir)
     }
 
-    // (checked while `fresh` is still persisted — isEmpty is a limit-1 scan)
-    val freshEmpty = fresh.isEmpty
     fresh.unpersist(); tf.unpersist(); delta.unpersist(); out.unpersist()
 
     // v7: rebuild the impact-ordered fast sidecar for the LAYERED root at
@@ -219,72 +290,35 @@ object Incremental {
       baseLayers.segmentsDirs :+ outPaths.segmentsDir,
       baseLayers.statsPaths :+ outPaths.statsPath,
       outPaths.statsPath, None)
-    // Staged swap, NOT an in-place rebuild: in the replay case (re-adding
-    // onto a root that already has a published snapshot) the live snapshot's
-    // newest layer references THIS fastDir, so deleting it for the duration
-    // of the rebuild would leave the published root without its sidecar for
-    // the whole decode+TopK pass (and a crash inside would make that
-    // permanent until the next publish). Build beside it, then two renames:
-    // the no-sidecar window shrinks to the rename itself, and a crash inside
+    // Staged swap, NOT an in-place rebuild: on a non-no-op replay (same
+    // batch path, changed content) the live snapshot's newest layer
+    // references THIS fastDir, so deleting it for the duration of the
+    // rebuild would leave the published root without its sidecar for the
+    // whole decode+TopK pass (and a crash inside would make that permanent
+    // until the next publish). Build beside it, then two renames: the
+    // no-sidecar window shrinks to the rename itself, and a crash inside
     // that window degrades to the fast-route-off fallback ([[IndexReader]]
     // fastFor: no _SUCCESS → WAND route — never a stale order), self-healed
     // by the next add/compact.
-    // Replay fast path (r6, VERDICT r5 #8): a replayed batch (J1 anti-join
-    // left nothing fresh) over the SAME base layers with the SAME resulting
-    // stats re-ranks the identical merged view at the identical avgdl — the
-    // existing published sidecar is byte-equivalent, so the decode+TopK
-    // pass is skipped. All three guards must hold: an empty delta alone
-    // does not imply the published sidecar matches (the previous publish
-    // could have been over different layers), and matching stats alone do
-    // not imply an empty delta.
-    val replayNoOp = freshEmpty &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"${outPaths.fastDir}/_SUCCESS")) &&
-      Snapshots.read(outPaths.root).exists { prev =>
-        prev.indexDirs == (baseLayers.indexDirs :+ outPaths.indexDir) &&
-          IndexBuilder.readStatsFile(prev.statsPath).contains(newStats)
-      }
     val fastFinal = java.nio.file.Paths.get(outPaths.fastDir)
     val fastStage = java.nio.file.Paths.get(outPaths.fastDir + ".next")
     IndexBuilder.deleteRecursively(fastStage)
-    if (!replayNoOp) {
-      // bound scale for the pruned selection: currentIndex rows may come
-      // from any base layer, whose block maxima were encoded at that
-      // layer's avgdl — the max per-layer `avgdl_new / avgdl_layer` ratio
-      // upper-bounds every row's scale (delta-layer rows are encoded at
-      // newStats.avgdl, scale 1); same soundness argument as the WAND
-      // reader's boundScale
-      val fastBoundScale = (1.0 +: baseLayers.statsPaths.flatMap(p =>
-        IndexBuilder.readStatsFile(p).map(ls => newStats.avgdl / ls.avgdl))).max
-      IndexBuilder.buildFastSidecar(
-        spark, currentIndex(spark, layeredView),
-        layeredView.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
-          .reduce(_ unionByName _),
-        newStats, fastStage.toString, boundScale = fastBoundScale)
-      IndexBuilder.deleteRecursively(fastFinal)
-      java.nio.file.Files.move(fastStage, fastFinal,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-
-    // persist stats + the layered snapshot: the merged table is openable
-    // from outPaths alone.
-    IndexBuilder.writeStatsJson(outPaths.statsPath, newStats, s"incremental over ${basePaths.root}")
-    // version = strictly AFTER both the base chain and anything already
-    // published at the out root: republishing (e.g. replaying an add onto a
-    // root that was since compacted) must never move the hint BACKWARDS to
-    // an older view
-    val outVersion = math.max(baseLayers.version,
-      Snapshots.currentVersion(outPaths.root).getOrElse(0)) + 1
-    Snapshots.write(outPaths.root, Snapshot(
-      outVersion,
-      baseLayers.indexDirs :+ outPaths.indexDir,
-      baseLayers.docsDirs :+ outPaths.docsDir,
-      baseLayers.segmentsDirs :+ outPaths.segmentsDir,
-      baseLayers.statsPaths :+ outPaths.statsPath,
-      outPaths.statsPath,
-      Some(basePaths.root)))
-    // a new snapshot invalidates any resident reader on this root
-    graft.engine.IndexReader.invalidate(outPaths.root)
-    newStats
+    // bound scale for the pruned selection: currentIndex rows may come
+    // from any base layer, whose block maxima were encoded at that
+    // layer's avgdl — the max per-layer `avgdl_new / avgdl_layer` ratio
+    // upper-bounds every row's scale (delta-layer rows are encoded at
+    // newStats.avgdl, scale 1); same soundness argument as the WAND
+    // reader's boundScale
+    val fastBoundScale = (1.0 +: baseLayers.statsPaths.flatMap(p =>
+      IndexBuilder.readStatsFile(p).map(ls => newStats.avgdl / ls.avgdl))).max
+    IndexBuilder.buildFastSidecar(
+      spark, currentIndex(spark, layeredView),
+      layeredView.docsDirs.map(d => spark.read.schema(IndexBuilder.DocsSchema).parquet(d))
+        .reduce(_ unionByName _),
+      newStats, fastStage.toString, boundScale = fastBoundScale)
+    IndexBuilder.deleteRecursively(fastFinal)
+    java.nio.file.Files.move(fastStage, fastFinal,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** [[addBatch]] + automatic LSM housekeeping: when the resulting snapshot

@@ -204,15 +204,22 @@ object Graph {
     val rootKeys = nodes.select(col("doc_id").as("root_id"),
       col("repo").as("root_repo"), col("path").as("root_path"))
     val nodeKeys = nodes.select(col("doc_id"), col("path"))
-    val out = fwd.unionByName(rev)
+    // materialize the labeled join BEFORE the output-edge orderBy: the range
+    // partitioner's sampling pass re-executes its child, so an unpersisted
+    // join subtree ran twice (r6 attribution: the tail was ~half of
+    // reachBfs' wall). orderBy itself stays — the reach output is unbounded
+    // at scale (every node within maxDepth hops), so a single-partition
+    // sort is not an option here, unlike the ≤ Σk ranking tails.
+    val joined = fwd.unionByName(rev)
       .join(rootKeys, "root_id")
       .join(nodeKeys, "doc_id")
       .select(col("direction"), col("root_repo"), col("root_path"), col("path"), col("depth"))
-      .orderBy("direction", "root_repo", "root_path", "path")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = joined.orderBy("direction", "root_repo", "root_path", "path")
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     // release every intermediate persist — only `out` (materialized above)
     // stays resident; a long-lived session must not accumulate BFS levels
-    fwdReach.unpersist(); revReach.unpersist()
+    joined.unpersist(); fwdReach.unpersist(); revReach.unpersist()
     fwdEdges.unpersist(); revEdges.unpersist(); rootsP.unpersist()
     out
   }

@@ -121,3 +121,80 @@ class IncrementalDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(out2.root).get.version === 3)
   }
 }
+
+/** r6: the replay no-op path — re-running the SAME addBatch(base → out) must
+  * skip the delta rewrite (artifact files untouched, byte-identical) while
+  * publishing a fresh snapshot version; a DIFFERENT batch over the same
+  * (base, out) pair must NOT be skipped (the fingerprint guard).
+  */
+class ReplayNoOpSpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  import graft.index._
+  import java.nio.file.{Files, Paths}
+  import scala.jdk.CollectionConverters._
+
+  private var spark: org.apache.spark.sql.SparkSession = _
+  private val root = "target/graft-index/test-replay-noop"
+
+  override def beforeAll(): Unit = {
+    spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Bench.deleteTree(root)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpusOf(rows: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (p, c) => ("repo-t", p, "c0ffee000000", "go", c) }
+      .toDF("repo", "path", "commit", "lang", "content")
+  }
+
+  private def artifactShas(paths: IndexPaths): Map[String, String] =
+    Seq(paths.indexDir, paths.segmentsDir, paths.docsDir, paths.edgesDir, paths.fastDir)
+      .flatMap { d =>
+        Files.walk(Paths.get(d)).iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            p.toString -> md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          }
+      }.toMap
+
+  test("identical replay skips the rewrite; a different batch does not") {
+    val base = Seq("a.go" -> "alpha beta gamma", "b.go" -> "beta delta epsilon")
+    val add1 = base ++ Seq("c.go" -> "zeta eta theta alpha")
+    val basePaths = IndexPaths(s"$root/base")
+    val outPaths = IndexPaths(s"$root/out")
+    IndexBuilder.build(spark, corpusOf(base), basePaths, buildArgs = "replay-noop-base")
+    Incremental.addBatch(spark, basePaths, corpusOf(add1), outPaths)
+    val v1 = Snapshots.read(outPaths.root).get.version
+    val sha1 = artifactShas(outPaths)
+    val mtimes1 = Files.walk(Paths.get(outPaths.indexDir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+
+    // identical replay → rewrite skipped: same artifact bytes AND same file
+    // mtimes (the phases never ran), snapshot version bumped
+    Incremental.addBatch(spark, basePaths, corpusOf(add1), outPaths)
+    val snap2 = Snapshots.read(outPaths.root).get
+    assert(snap2.version == v1 + 1, "replay must still publish a new snapshot version")
+    assert(artifactShas(outPaths) == sha1, "replay no-op must leave artifact bytes identical")
+    val mtimes2 = Files.walk(Paths.get(outPaths.indexDir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    assert(mtimes2 == mtimes1, "replay no-op must not rewrite the delta index files")
+
+    // a DIFFERENT batch over the same (base, out) pair must not be skipped —
+    // and the served content must reflect the new batch
+    val add2 = base ++ Seq("c.go" -> "zeta eta theta alpha", "d.go" -> "iota kappa")
+    Incremental.addBatch(spark, basePaths, corpusOf(add2), outPaths)
+    val docs = Incremental.readMergedDocs(spark, outPaths.root)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(docs == Set("a.go", "b.go", "c.go", "d.go"),
+      s"different batch must rewrite the delta, got $docs")
+  }
+}
