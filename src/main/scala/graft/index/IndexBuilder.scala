@@ -270,7 +270,7 @@ object IndexBuilder {
     */
   @volatile var phaseHook: (String, String, Double) => Unit = (_, _, _) => ()
 
-  private[index] def phase[A](name: String, tag: String = "build")(f: => A): A = {
+  private[graft] def phase[A](name: String, tag: String = "build")(f: => A): A = {
     val t0 = System.nanoTime()
     val a = f
     val wall = (System.nanoTime() - t0) / 1e9

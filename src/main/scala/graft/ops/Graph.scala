@@ -108,10 +108,17 @@ object Graph {
         d += 1
       }
     }
-    // materialize the final view off the persisted hops, then release them
-    val out = visited
-    out.count()
-    handles.foreach(h => if (h ne out) h.unpersist())
+    // Truncate lineage BEFORE releasing the per-level persists (r6): the
+    // final view is a union chain over every persisted level, and
+    // `unpersist` (cascade = false) RECOMPILES dependent cache entries —
+    // dropping their materialized data — so releasing the levels while the
+    // result still referenced them forced every later consumer to re-run
+    // the whole traversal from scratch (measured: graph_reach_bfs re-ran
+    // its BFS ~4× per Verify entry). localCheckpoint stores the result as
+    // its own blocks (same footprint as the persist it replaces) with no
+    // plan dependency on the levels, which can then be dropped safely.
+    val out = visited.localCheckpoint(true)
+    handles.foreach(_.unpersist())
     out
   }
 
@@ -121,15 +128,16 @@ object Graph {
     * Output: (direction, root_repo, root_path, path, depth) in the pinned
     * oracle order.
     */
-  def reachBfs(spark: SparkSession, corpus: DataFrame, maxDepth: Int = 3): DataFrame = {
-    val nodes = docNodes(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = graft.index.LinkIndex.edgesOf(nodes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = reachBoth(nodes, edges, maxDepth)
-    nodes.unpersist(); edges.unpersist()
-    out
-  }
+  def reachBfs(spark: SparkSession, corpus: DataFrame, maxDepth: Int = 3): DataFrame =
+    graft.index.IndexBuilder.phase("reach-bfs-total", tag = "graph") {
+      val nodes = docNodes(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = graft.index.LinkIndex.edgesOf(nodes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = reachBoth(nodes, edges, maxDepth)
+      nodes.unpersist(); edges.unpersist()
+      out
+    }
 
   /** [[reachBfs]] served from the STORED graph artifacts of an index root
     * — node metadata from the docs sidecar, edges from the persisted
@@ -158,6 +166,8 @@ object Graph {
     * materialized and all intermediate BFS levels are released.
     */
   private def reachBoth(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+    def phase[A](name: String)(f: => A): A =
+      graft.index.IndexBuilder.phase(name, tag = "graph")(f)
     val canon = canonicalProviders(nodes)
     val roots = canon.filter(col("cust") === 0 && col("repo").isin(RootRepos: _*))
       .select(col("canon_id").as("root_id"), col("canon_id").as("doc_id"))
@@ -189,8 +199,8 @@ object Graph {
     // scheduling keeps both progressing). `roots` is persisted first so the
     // racing level-0 materializations don't duplicate its derivation.
     val rootsP = roots.persist(lvl)
-    rootsP.count()
-    val (fwdReach, revReach) = {
+    phase("edges-pin+roots") { fwdEdges.count(); revEdges.count(); rootsP.count() }
+    val (fwdReach, revReach) = phase("bfs-both-directions") {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
@@ -215,10 +225,15 @@ object Graph {
       .join(nodeKeys, "doc_id")
       .select(col("direction"), col("root_repo"), col("root_path"), col("path"), col("depth"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = joined.orderBy("direction", "root_repo", "root_path", "path")
-    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    // release every intermediate persist — only `out` (materialized above)
-    // stays resident; a long-lived session must not accumulate BFS levels
+    // materialize BEFORE the orderBy so the range partitioner's sampling
+    // pass reads the cache instead of racing the first fill
+    phase("label-join")(joined.count())
+    // lineage-truncate the sorted result (same cascade reasoning as in
+    // [[reach]]) so every input persist below can be released without
+    // invalidating it; a long-lived session must not accumulate BFS levels
+    val out = phase("label+sort-tail")(
+      joined.orderBy("direction", "root_repo", "root_path", "path")
+        .localCheckpoint(true))
     joined.unpersist(); fwdReach.unpersist(); revReach.unpersist()
     fwdEdges.unpersist(); revEdges.unpersist(); rootsP.unpersist()
     out
