@@ -332,7 +332,16 @@ object SparkEntry {
       val out = ensureIncr(s, dir)
       val name = java.nio.file.Paths.get(dir).getFileName.toString
       val cRoot = s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-compact-$name"
-      graft.index.Incremental.compact(s, out.root, Some(cRoot))
+      // r6 fixture reuse (same convention as the chain/timetravel entries):
+      // recompact only when the compacted root is absent or its stats no
+      // longer match the layered source's — a replayed source (content
+      // unchanged, version bumped) keeps the existing compacted layer
+      val srcStats = graft.index.Snapshots.read(out.root)
+        .flatMap(sn => graft.index.IndexBuilder.readStatsFile(sn.statsPath))
+      val cStats = graft.index.Snapshots.read(cRoot)
+        .flatMap(sn => graft.index.IndexBuilder.readStatsFile(sn.statsPath))
+      if (cStats.isEmpty || cStats != srcStats)
+        graft.index.Incremental.compact(s, out.root, Some(cRoot))
       val snap = graft.index.Snapshots.read(cRoot).get
       require(snap.indexDirs.size == 1, "compacted root must be single-layer")
       decodeRecount(s,

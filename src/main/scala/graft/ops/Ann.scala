@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * partitioned variant (the scale path: centroid assignment bounds each
   * query to nprobe posting lists instead of the whole table).
   *
-  * Dot products are `zip_with` + `aggregate` higher-order functions in
-  * double precision — sequential left-to-right fold, matching the oracle's
+  * Dot products are sequential left-to-right double folds (native
+  * [[DotSequential]], the exact IEEE sequence of the zip_with + aggregate
+  * formulation it replaced), matching the oracle's
   * `list_sum(list_transform(...))` order, so quantized cosines agree.
   */
 object Ann {
@@ -38,10 +39,19 @@ object Ann {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** Σ aᵢ·bᵢ in double, sequential. */
+  /** Σ aᵢ·bᵢ in double, sequential. r6: a native expression
+    * ([[DotSequential]]) replacing the interpreted
+    * `aggregate(zip_with(...))` fold — it performs the IDENTICAL
+    * left-to-right IEEE sequence (`acc = acc + (aᵢ.toDouble * bᵢ.toDouble)`),
+    * so every float-path cosine is bit-identical to the previous
+    * formulation and to the DuckDB `list_sum(list_transform(...))` the
+    * oracles pin (the summation ORDER is the cross-engine contract here,
+    * unlike the exact micro-int path of [[cosineM]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnBridge.column(DotSequential(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -303,5 +313,63 @@ final case class DotLongArrays(
   override protected def withNewChildrenInternal(
       newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
       newRight: org.apache.spark.sql.catalyst.expressions.Expression): DotLongArrays =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native sequential dot product over float/double arrays — the exact IEEE
+  * operation sequence of `aggregate(zip_with(a, b, (x, y) => x.cast(double)
+  * * y.cast(double)), 0.0, _ + _)`: left-to-right, one multiply then one
+  * add per element, float widened to double first (exact). Mismatched
+  * lengths yield null, mirroring zip_with's null padding poisoning the sum.
+  */
+final case class DotSequential(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+
+  private def elem(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elem(left.dataType).isDefined && elem(right.dataType).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> columns, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_sequential"
+
+  @transient private lazy val leftIsFloat = elem(left.dataType).contains(FloatType)
+  @transient private lazy val rightIsFloat = elem(right.dataType).contains(FloatType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      // a null element poisons the whole sum, as in the fold it replaces
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc = acc + xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): DotSequential =
     copy(left = newLeft, right = newRight)
 }
