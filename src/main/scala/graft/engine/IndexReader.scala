@@ -334,8 +334,8 @@ object IndexReader {
           // parquet files to infer from
           val idx = spark.read.schema(IndexBuilder.IndexSchema)
             .parquet(snap.indexDirs(i)).persist(StorageLevel.MEMORY_AND_DISK)
-          val seg = spark.read.schema(IndexBuilder.SegmentsSchema)
-            .parquet(snap.segmentsDirs(i)).persist(StorageLevel.MEMORY_AND_DISK)
+          val seg = pinSegments(spark.read.schema(IndexBuilder.SegmentsSchema)
+            .parquet(snap.segmentsDirs(i)))
           IndexLayer(i, snap.indexDirs(i), layerStats.avgdl,
             math.max(1.0, stats.avgdl / layerStats.avgdl), idx, seg)
         }
@@ -349,7 +349,8 @@ object IndexReader {
       case None =>
         val stats = IndexBuilder.open(paths)
         val idx = spark.read.parquet(paths.indexDir).persist(StorageLevel.MEMORY_AND_DISK)
-        val seg = spark.read.parquet(paths.segmentsDir).persist(StorageLevel.MEMORY_AND_DISK)
+        val seg = pinSegments(
+          spark.read.schema(IndexBuilder.SegmentsSchema).parquet(paths.segmentsDir))
         val docs = pinDocs(spark.read.schema(IndexBuilder.DocsSchema).parquet(paths.docsDir))
         IndexReader(paths, stats, 0,
           Seq(IndexLayer(0, paths.indexDir, stats.avgdl, 1.0, idx, seg)),
@@ -368,6 +369,17 @@ object IndexReader {
     */
   private def pinDocs(docs: DataFrame): DataFrame =
     persistPartitioned(docs.repartition(col("doc_id")).sortWithinPartitions("doc_id"))
+
+  /** Pin a segments layer hash-partitioned by `salt` (every row of a salt
+    * shard in exactly one cached partition — the invariant the single-layer
+    * WAND mapPartitions route relies on: one task sees ALL of a (salt,
+    * query)'s term rows, so shard runs stay docId-disjoint) and sorted by
+    * (salt, bucket, term) so the in-memory batch min/max stats keep the
+    * per-query bucket/term filters prunable.
+    */
+  private def pinSegments(segs: DataFrame): DataFrame =
+    persistPartitioned(
+      segs.repartition(col("salt")).sortWithinPartitions("salt", "bucket", "term"))
 
   /** Persist with the partitioning/ordering STATICALLY visible to consumers.
     * Under AQE (Spark 4 default) a cached query compiles as an
