@@ -53,12 +53,12 @@ object NaiveSearch {
       .filter(col("dl") > 0)
     val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
 
-    // tf rows for the query terms only — tokenize emits (doc_id, term, tf,
-    // dl) map-side, the isin filter drops non-query terms before anything
-    // wide; persisted because both the scoring branch and the df aggregate
-    // consume it (bounded: Σ df over the query's terms)
-    val tfq = Tokenizer.termFreqsWithDl(corpusWithId)
-      .filter(col("term").isin(qTermList: _*))
+    // tf rows for the query terms only — the restricted tokenizer matches
+    // each token run against the needle set in place (spec-pinned equal to
+    // termFreqsWithDl + isin filter), so non-query tokens cost no
+    // allocation; persisted because both the scoring branch and the df
+    // aggregate consume it (bounded: Σ df over the query's terms)
+    val tfq = Tokenizer.termFreqsRestricted(corpusWithId, qTermList)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val qTerms = queries.select("query_id", "term", "k")

@@ -128,6 +128,69 @@ object Tokenizer {
       }
       .toDF("doc_id", "term", "tf", "dl")
   }
+
+  /** [[termFreqsWithDl]] restricted to a SMALL known term set — exactly
+    * `termFreqsWithDl(c).filter(term isin wanted)` (TokenizerSpec pins it),
+    * computed without building the full per-doc term map: each token run is
+    * matched against the needle set in place (no substring allocation for
+    * non-matching tokens, no HashMap of the whole vocabulary), while `dl`
+    * still counts EVERY token. The naive BM25 plan's shape: the query terms
+    * are driver-resident, and only their rows survive the very next filter.
+    */
+  def termFreqsRestricted(corpusWithId: DataFrame, wanted: Seq[String]): DataFrame = {
+    val spark = corpusWithId.sparkSession
+    import spark.implicits._
+    val needles = wanted.distinct.toArray
+    corpusWithId
+      .select(col("doc_id"), col("content"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // needles grouped by length: a run matches by length + char compare
+        val byLen = needles.groupBy(_.length)
+        val maxLen = if (needles.isEmpty) 0 else needles.map(_.length).max
+        it.flatMap { case (docId, content) =>
+          val s = content.toLowerCase
+          val counts = new Array[Int](needles.length)
+          var dl = 0L
+          var i = 0
+          val n = s.length
+          while (i < n) {
+            val c = s.charAt(i)
+            if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
+              var j = i + 1
+              var cj = ' '
+              while (j < n && {
+                cj = s.charAt(j)
+                (cj >= 'a' && cj <= 'z') || (cj >= '0' && cj <= '9') || cj == '_'
+              }) j += 1
+              dl += 1
+              val len = j - i
+              if (len <= maxLen) byLen.get(len).foreach { cands =>
+                var ci = 0
+                while (ci < cands.length) {
+                  val cand = cands(ci)
+                  var k = 0
+                  while (k < len && cand.charAt(k) == s.charAt(i + k)) k += 1
+                  if (k == len) {
+                    // needle index for the counts array
+                    var ni = 0
+                    while (needles(ni) ne cand) ni += 1
+                    counts(ni) += 1
+                    ci = cands.length
+                  } else ci += 1
+                }
+              }
+              i = j
+            } else i += 1
+          }
+          val d = dl
+          Iterator.range(0, needles.length)
+            .filter(counts(_) > 0)
+            .map(ni => (docId, needles(ni), counts(ni).toLong, d))
+        }
+      }
+      .toDF("doc_id", "term", "tf", "dl")
+  }
 }
 
 /** Scalar expression: number of tokens of a string column — a single

@@ -102,3 +102,29 @@ class TokenCountParitySpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.stop()
   }
 }
+
+/** r6: the needle-restricted tokenizer must equal the full tokenize +
+  * isin filter exactly (rows, tfs, and the FULL-doc dl on every row).
+  */
+class TokenizerRestrictedSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("termFreqsRestricted == termFreqsWithDl.filter(isin) on sf0.001") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import org.apache.spark.sql.functions.col
+      val c = graft.corpus.Corpus.withDocId(graft.corpus.Corpus.corpus(spark, "/root/testdata/sf0.001"))
+      // hot, medium, rare, absent, and a prefix of a real token ("func" vs
+      // "fun") to catch length/compare bugs
+      val wanted = Seq("func", "buffer", "handler_0_1", "zzznotfound", "fun", "cust_7")
+      val full = graft.tokenize.Tokenizer.termFreqsWithDl(c)
+        .filter(col("term").isin(wanted: _*))
+        .select("doc_id", "term", "tf", "dl")
+      val fast = graft.tokenize.Tokenizer.termFreqsRestricted(c, wanted)
+        .select("doc_id", "term", "tf", "dl")
+      assert(fast.exceptAll(full).isEmpty && full.exceptAll(fast).isEmpty,
+        "restricted tokenizer diverges from the filtered full tokenize")
+    } finally spark.stop()
+  }
+}
