@@ -392,6 +392,11 @@ object IndexReader {
     * over it still runs with AQE on. (Verified against
     * `plans/r06/bm25_index_topk_after.txt`: the docs side of the keys join
     * is a bare InMemoryTableScan, no Exchange, no Sort.)
+    *
+    * Concurrency note: the toggle is a session-conf write, so a query
+    * PLANNED by another thread inside the window compiles without AQE —
+    * correct, marginally less adaptive, and bounded to the pin call (reader
+    * pins run under openLock; graph traversals pin per invocation).
     */
   private[graft] def persistPartitioned(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
