@@ -333,14 +333,22 @@ object SparkEntry {
       val name = java.nio.file.Paths.get(dir).getFileName.toString
       val cRoot = s"target/graft-index/v${graft.index.IndexBuilder.FormatVersion}/incr-compact-$name"
       // r6 fixture reuse (same convention as the chain/timetravel entries):
-      // recompact only when the compacted root is absent or its stats no
-      // longer match the layered source's — a replayed source (content
-      // unchanged, version bumped) keeps the existing compacted layer
-      val srcStats = graft.index.Snapshots.read(out.root)
-        .flatMap(sn => graft.index.IndexBuilder.readStatsFile(sn.statsPath))
-      val cStats = graft.index.Snapshots.read(cRoot)
-        .flatMap(sn => graft.index.IndexBuilder.readStatsFile(sn.statsPath))
-      if (cStats.isEmpty || cStats != srcStats)
+      // recompact only when the compacted root is absent, its stats no
+      // longer match the layered source's, OR it was compacted from a
+      // DIFFERENT source content — compact records the source's build_args
+      // (which carries the incremental batch fingerprint) in its own
+      // build_args as `src=[...]`, so stats-collision across different
+      // contents cannot serve a stale compacted layer. A replayed source
+      // (content unchanged, version bumped) keeps the existing layer.
+      val srcSnap = graft.index.Snapshots.read(out.root)
+      val srcStats = srcSnap.flatMap(sn => graft.index.IndexBuilder.readStatsFile(sn.statsPath))
+      val srcArgs = srcSnap.flatMap(sn => graft.index.IndexBuilder.readJsonString(
+        java.nio.file.Paths.get(sn.statsPath), "build_args")).getOrElse("")
+      val cSnap = graft.index.Snapshots.read(cRoot)
+      val cStats = cSnap.flatMap(sn => graft.index.IndexBuilder.readStatsFile(sn.statsPath))
+      val cArgs = cSnap.flatMap(sn => graft.index.IndexBuilder.readJsonString(
+        java.nio.file.Paths.get(sn.statsPath), "build_args")).getOrElse("")
+      if (cStats.isEmpty || cStats != srcStats || !cArgs.endsWith(s"src=[$srcArgs]"))
         graft.index.Incremental.compact(s, out.root, Some(cRoot))
       val snap = graft.index.Snapshots.read(cRoot).get
       require(snap.indexDirs.size == 1, "compacted root must be single-layer")

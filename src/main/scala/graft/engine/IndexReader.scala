@@ -393,12 +393,18 @@ object IndexReader {
     * `plans/r06/bm25_index_topk_after.txt`: the docs side of the keys join
     * is a bare InMemoryTableScan, no Exchange, no Sort.)
     *
-    * Concurrency note: the toggle is a session-conf write, so a query
-    * PLANNED by another thread inside the window compiles without AQE —
-    * correct, marginally less adaptive, and bounded to the pin call (reader
-    * pins run under openLock; graph traversals pin per invocation).
+    * Concurrency: the whole toggle-persist-restore runs under one global
+    * lock — two unsynchronized callers could otherwise interleave their
+    * read-prev/set/restore and leave AQE disabled for the session (thread A
+    * reads "true"/sets false, thread B reads "false", A restores "true",
+    * B "restores" false). persist() registers the cache without running a
+    * job, so the critical section is cheap. A query PLANNED by an unrelated
+    * thread inside the window still compiles without AQE — correct,
+    * marginally less adaptive, and bounded to the pin call.
     */
-  private[graft] def persistPartitioned(df: DataFrame): DataFrame = {
+  private val pinLock = new Object
+
+  private[graft] def persistPartitioned(df: DataFrame): DataFrame = pinLock.synchronized {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

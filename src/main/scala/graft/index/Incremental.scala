@@ -115,13 +115,25 @@ object Incremental {
     // (nDocs, avgdl, totalTokens)). `index_incremental`'s replay=true entry
     // — the J1 idempotency exercise Verify pays every run — goes from a full
     // delta rewrite to anti-join + stats + fingerprint.
+    // \u0001 field separator in the row hash: a separator-less concat
+    // would let field-boundary shifts alias (("ab","c") vs ("a","bc")).
     val fpRow = fresh
-      .select(xxhash64(concat_ws("",
+      .select(xxhash64(concat_ws("\u0001",
         col("repo"), col("path"), col("commit"), col("lang"), col("content"))).as("h"))
       .agg(count(lit(1)), expr("bit_xor(h)")).head()
     val freshFp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)}"
     val publishArgs = s"incremental over ${basePaths.root} fp=$freshFp"
-    val replayNoOp = Snapshots.read(outPaths.root).exists { prev =>
+    // In-flight rewrite marker: an addBatch of a DIFFERENT batch that
+    // crashed mid-rewrite leaves artifacts (e.g. an overwritten delta
+    // index) that no longer correspond to the still-published stats and
+    // snapshot — the _SUCCESS checks below validate artifact PRESENCE, not
+    // correspondence. The marker is written before the first rewrite phase
+    // and removed only after the snapshot publish, so the no-op is taken
+    // only when no rewrite was interrupted in between (the full rewrite is
+    // the self-healing path).
+    val inflightMarker = java.nio.file.Paths.get(s"${outPaths.root}/add-inflight.json")
+    val replayNoOp = !java.nio.file.Files.exists(inflightMarker) &&
+      Snapshots.read(outPaths.root).exists { prev =>
       prev.indexDirs == (baseLayers.indexDirs :+ outPaths.indexDir) &&
         prev.docsDirs == (baseLayers.docsDirs :+ outPaths.docsDir) &&
         prev.segmentsDirs == (baseLayers.segmentsDirs :+ outPaths.segmentsDir) &&
@@ -134,8 +146,11 @@ object Incremental {
     if (replayNoOp) {
       System.err.println(s"[add] replay no-op: ${outPaths.root} already carries this batch ($publishArgs)")
       fresh.unpersist(); tf.unpersist()
-    } else
-    addBatchRewrite(spark, baseLayers, basePaths, outPaths, fresh, tf, newStats)
+    } else {
+      java.nio.file.Files.createDirectories(inflightMarker.getParent)
+      java.nio.file.Files.writeString(inflightMarker, "in-flight: " + publishArgs)
+      addBatchRewrite(spark, baseLayers, basePaths, outPaths, fresh, tf, newStats)
+    }
 
     // persist stats + the layered snapshot: the merged table is openable
     // from outPaths alone.
@@ -156,6 +171,8 @@ object Incremental {
       Some(basePaths.root)))
     // a new snapshot invalidates any resident reader on this root
     graft.engine.IndexReader.invalidate(outPaths.root)
+    // rewrite (if any) and publish both landed — clear the in-flight marker
+    java.nio.file.Files.deleteIfExists(inflightMarker)
     newStats
   }
 
@@ -407,7 +424,15 @@ object Incremental {
       .toDF("doc_id", "term", "tf", "dl")
     IndexBuilder.buildPostingsPhases(spark, tfd, stats, inner, s"compact v$publishVersion of $root")
 
-    IndexBuilder.writeStatsJson(inner.statsPath, stats, s"compact v$publishVersion of $root")
+    // record the SOURCE's identity (its build_args carries the batch
+    // fingerprint for incremental roots) so fixture-reuse guards can check
+    // "compacted from THIS source content", not merely stats equality —
+    // stats alone can collide across different contents (same insufficiency
+    // the addBatch replay fingerprint closes)
+    val srcArgs = IndexBuilder.readJsonString(
+      java.nio.file.Paths.get(snap.statsPath), "build_args").getOrElse("")
+    IndexBuilder.writeStatsJson(inner.statsPath, stats,
+      s"compact v$publishVersion of $root src=[$srcArgs]")
     Snapshots.write(publishRoot, Snapshot(
       publishVersion, Seq(inner.indexDir), Seq(inner.docsDir), Seq(inner.segmentsDir),
       Seq(inner.statsPath), inner.statsPath, snap.parentRoot))

@@ -300,13 +300,23 @@ final case class DotLongArrays(
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_long_arrays"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths / null elements yield null, mirroring the
+    // zip_with+aggregate fold this replaced (zip_with's null padding or a
+    // null element poisons the whole sum) — see [[DotSequential]]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s.toDouble
   }
 

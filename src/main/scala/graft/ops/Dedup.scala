@@ -102,6 +102,9 @@ object Dedup {
     // both candidate sides, both verification sides + sizes) — without a
     // persist each branch re-tokenizes and re-explodes the corpus (r6:
     // ~5× of this entry's wall at sf0.01)
+    // lifetime: like NaiveSearch's per-call persists, released by session
+    // end / the caller's unpersist-all (the returned frame's lineage
+    // references the cache, so this function cannot release it itself)
     val ex = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ex.join(
       ex.groupBy("shingle").agg(count(lit(1)).as("sdf"))

@@ -117,6 +117,11 @@ object Graph {
     // its BFS ~4× per Verify entry). localCheckpoint stores the result as
     // its own blocks (same footprint as the persist it replaces) with no
     // plan dependency on the levels, which can then be dropped safely.
+    // Tradeoff: localCheckpoint storage is non-reliable — on a cluster,
+    // losing an executor holding result blocks fails later actions instead
+    // of recomputing; acceptable for a query result consumed promptly
+    // (re-running the traversal is the recovery), not for a long-lived
+    // artifact (those are the STORED edges/ layers, which are parquet).
     val out = visited.localCheckpoint(true)
     handles.foreach(_.unpersist())
     out

@@ -22,7 +22,14 @@ object Tokenizer {
     */
   val SplitRegex: String = "[^a-z0-9_]+"
 
-  /** Normalize one query/lookup term exactly like index-time tokens. */
+  /** Normalize one query/lookup term exactly like index-time tokens.
+    * Lowering consistency: every path lowers with the same semantics —
+    * Spark's `lower()`/UTF8String.toLowerCase take an ASCII fast path and
+    * fall back to java.lang.String.toLowerCase (default locale), which is
+    * exactly what the scan tokenizers call — so a non-default JVM locale
+    * shifts ALL paths together, never one side of a parity pair
+    * (TokenCountParitySpec exercises the non-ASCII lower-into-class cases).
+    */
   def normalizeTerm(t: String): String = t.toLowerCase
 
   /** Array-of-tokens column for a content column (empties filtered). */
