@@ -223,3 +223,42 @@ object ProfileGraph3R06 {
     spark.stop()
   }
 }
+
+/** Fast-sidecar build attribution (r6 late): decode+prune vs join vs agg. */
+object ProfileFastR06 {
+  import ProfileR06.t
+  def main(args: Array[String]): Unit = {
+    val spark = Config.session()
+    import spark.implicits._
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val root = "target/graft-index/bench-cpus32"
+    val stats = graft.index.IndexBuilder.readStats(graft.index.IndexPaths(root)).get
+    val idx = spark.read.parquet(s"$root/index")
+    val docs = spark.read.schema(graft.index.IndexBuilder.DocsSchema).parquet(s"$root/docs")
+    val n = stats.nDocs; val avgdl = stats.avgdl
+    val fastK = graft.index.IndexBuilder.FastK
+    val hot = idx
+      .filter(col("df") >= graft.index.IndexBuilder.FastMinDf)
+      .select("term", "df", "postings", "dls", "block_max", "block_dir", "bucket")
+      .as[(String, Long, Array[Byte], Array[Byte], Seq[Double], Array[Byte], Int)]
+      .flatMap { case (term, df, p, d, bm, dir, bucket) =>
+        graft.index.Postings.topCandidatesByScore(df, p, d, bm.toArray, dir, n, avgdl, fastK, 1.0)
+          .map { case (id, tf, dl) => (term, df, bucket, id, tf, dl) }
+      }
+      .toDF("term", "df", "bucket", "doc_id", "tf", "dl")
+    t("fast: decode+prune flatMap noop")(noop(hot))
+    println("[profile] candidate rows: " + hot.count())
+    val docKeys = docs.select("doc_id", "repo", "path", "commit")
+    t("fast: + docKeys join noop")(noop(hot.join(docKeys, "doc_id")))
+    val scoreR = graft.score.BM25.quantize(graft.score.BM25.score(
+      col("tf"), col("df"), col("dl"), lit(n), lit(avgdl)))
+    t("fast: + topK agg noop")(noop(
+      hot.join(docKeys, "doc_id")
+        .groupBy("term", "df", "bucket")
+        .agg(graft.engine.TopKAggExprs.topK(lit(fastK), scoreR,
+          struct(col("repo"), col("path"), col("commit"),
+            col("doc_id"), col("tf"), col("dl"))).as("hits"))))
+    spark.stop()
+  }
+}

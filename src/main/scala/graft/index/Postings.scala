@@ -119,6 +119,24 @@ object Postings {
     val nb = b.nBlocks
     if (nb == 0 || k <= 0) return Iterator.empty
     val order = Array.range(0, nb).sortBy(i => -blockMax(i))
+    // per-block quantized scores computed in pass 1, reused by pass 2 (a
+    // block pass 1 skipped can still need scanning in pass 2 when its bound
+    // TIES the k-th best — those compute lazily there)
+    val scores = new Array[Array[Double]](nb)
+    def blockScores(blk: Int): Array[Double] = {
+      val cached = scores(blk)
+      if (cached != null) return cached
+      val start = blk * BlockSize
+      val len = math.min(BlockSize, b.count - start)
+      val a = new Array[Double](len)
+      var i = 0
+      while (i < len) {
+        a(i) = graft.score.BM25.quantize(idfV * tfNorm(b.tf(start + i), b.dl(start + i), avgdl))
+        i += 1
+      }
+      scores(blk) = a
+      a
+    }
     // pass 1: the k-th best quantized score via a primitive min-heap
     val heap = new Array[Double](k)
     var hs = 0
@@ -151,13 +169,13 @@ object Postings {
       if (hs >= k && graft.score.BM25.quantize(idfV * blockMax(blk) * boundScale) <= heap(0))
         pruned = true
       else {
-        var pos = blk * BlockSize
-        val end = math.min(pos + BlockSize, b.count)
-        while (pos < end) {
-          val s = graft.score.BM25.quantize(idfV * tfNorm(b.tf(pos), b.dl(pos), avgdl))
+        val bs = blockScores(blk)
+        var i = 0
+        while (i < bs.length) {
+          val s = bs(i)
           if (hs < k) { heap(hs) = s; hs += 1; siftUp(hs - 1) }
           else if (s > heap(0)) { heap(0) = s; siftDown() }
-          pos += 1
+          i += 1
         }
       }
       oi += 1
@@ -169,10 +187,9 @@ object Postings {
       if (graft.score.BM25.quantize(idfV * blockMax(blk) * boundScale) < sk) Iterator.empty
       else {
         val start = blk * BlockSize
-        val end = math.min(start + BlockSize, b.count)
-        Iterator.range(start, end).filter { pos =>
-          graft.score.BM25.quantize(idfV * tfNorm(b.tf(pos), b.dl(pos), avgdl)) >= sk
-        }.map(pos => (b.id(pos), b.tf(pos), b.dl(pos)))
+        val bs = blockScores(blk)
+        Iterator.range(0, bs.length).filter(bs(_) >= sk)
+          .map(i => (b.id(start + i), b.tf(start + i), b.dl(start + i)))
       }
     }
   }
